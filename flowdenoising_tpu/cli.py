@@ -1,0 +1,142 @@
+"""Command-line interface, flag-compatible with the reference
+``flowdenoising.py`` (/root/reference/src/flowdenoising.py:384-415).
+
+Usage:
+    python -m flowdenoising_tpu -i vol.mrc -o denoised.mrc -s 2.0 2.0 2.0
+
+All reference flags are accepted.  Flags that are meaningless on TPU
+(-p/--number_of_processes, --use_threads) are accepted and ignored with an
+informational log, so existing scripts keep working.  TPU-specific additions:
+--boundary {wrap,mean,replicate}, --slab_size, --devices, --dtype.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
+from flowdenoising_tpu.kernels import get_gaussian_kernels
+from flowdenoising_tpu.utils.fingerprint import file_fingerprint
+from flowdenoising_tpu.utils.logging import setup_logging, log_volume_stats
+from flowdenoising_tpu.utils.profiler import PhaseProfiler
+
+SIGMA = 2.0
+OF_LEVELS = 3
+OF_WINDOW_SIZE = 5
+
+
+def int_or_str(text):
+    try:
+        return int(text)
+    except ValueError:
+        return text
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("-i", "--input", type=int_or_str, default="./volume.mrc",
+                   help="Input a MRC-file or a multi-image TIFF-file")
+    p.add_argument("-o", "--output", type=int_or_str, default="./denoised_volume.mrc",
+                   help="Output a MRC-file or a multi-image TIFF-file")
+    p.add_argument("-s", "--sigma", nargs="+", default=(SIGMA, SIGMA, SIGMA),
+                   help="Gaussian sigma for each dimension in the order (Z, Y, X)")
+    p.add_argument("-l", "--levels", type=int_or_str, default=OF_LEVELS,
+                   help="Number of levels of the Gaussian pyramid used by the optical flow estimator")
+    p.add_argument("-w", "--winsize", type=int_or_str, default=OF_WINDOW_SIZE,
+                   help="Size of the window used by the optical flow estimator")
+    p.add_argument("-v", "--verbosity", type=int_or_str, default=0, help="Verbosity level")
+    p.add_argument("-n", "--no_OF", action="store_true",
+                   help="Disable optical flow compensation")
+    p.add_argument("-m", "--memory_map", action="store_true",
+                   help="Enable memory-mapping of MRC input")
+    p.add_argument("-p", "--number_of_processes", type=int_or_str, default=None,
+                   help="Accepted for reference compatibility; scheduling is device-driven on TPU")
+    p.add_argument("--recompute_flow", action="store_true",
+                   help="Disable the use of adjacent optical flow fields")
+    p.add_argument("--show_fingerprint", action="store_true",
+                   help="Show a hash of this file")
+    # TPU-native extensions
+    p.add_argument("--boundary", choices=[b.value for b in Boundary], default=Boundary.WRAP.value,
+                   help="Boundary mode along the filtered axis (reference main CLI: wrap; "
+                        "sequential variant: mean)")
+    p.add_argument("--slab_size", type=int, default=None,
+                   help="Process each pass in slabs of this many output slices to bound HBM use")
+    p.add_argument("--devices", type=int, default=None,
+                   help="Shard the volume over this many devices (default: all available)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="Optical-flow compute dtype")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.show_fingerprint:
+        print("fingerprint =", file_fingerprint(__file__))
+
+    setup_logging(args.verbosity if isinstance(args.verbosity, int) else 0)
+    prof = PhaseProfiler()
+
+    sigma = tuple(float(s) for s in args.sigma)
+    if len(sigma) == 1:
+        sigma = sigma * 3
+    logging.info(f"sigma={sigma}")
+
+    cfg = FilterConfig(
+        sigma=sigma,
+        boundary=Boundary(args.boundary),
+        use_flow=not args.no_OF,
+        flow=FlowConfig(
+            levels=int(args.levels),
+            winsize=int(args.winsize),
+            use_initial_flow=not args.recompute_flow,
+            dtype=args.dtype,
+        ),
+        slab_size=args.slab_size,
+    )
+    if args.recompute_flow:
+        logging.info("No reusing adjacent OF fields as predictions")
+    else:
+        logging.info("Using adjacent OF fields as predictions")
+
+    from flowdenoising_tpu.io.volume import read_volume, write_volume
+
+    with prof.phase("read"):
+        vol = read_volume(args.input, memory_map=args.memory_map)
+    log_volume_stats(str(args.input), vol)
+
+    kernels = get_gaussian_kernels(sigma)
+    logging.info(f"length of each filter (Z, Y, X) = {[len(k) for k in kernels]}")
+
+    import jax
+    devices = jax.devices()
+    logging.info(f"JAX backend: {devices[0].platform} with {len(devices)} device(s)")
+    n_devices = args.devices or len(devices)
+
+    with prof.phase("filter"):
+        if n_devices > 1:
+            from flowdenoising_tpu.parallel.mesh import denoise_sharded
+            filtered = denoise_sharded(np.asarray(vol), cfg, kernels=kernels,
+                                       n_devices=n_devices)
+        else:
+            from flowdenoising_tpu.core.pipeline import denoise
+            filtered = denoise(np.asarray(vol), cfg, kernels=kernels)
+        filtered = np.asarray(filtered)
+
+    log_volume_stats(str(args.output), filtered)
+
+    with prof.phase("write"):
+        write_volume(args.output, filtered)
+
+    prof.report()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""Configuration dataclasses for the denoising pipeline.
+
+Defaults mirror the reference CLI constants at
+/root/reference/src/flowdenoising.py:47-53 (OF_LEVELS=3, OF_WINDOW_SIZE=5,
+OF_ITERS=3, OF_POLY_N=5, OF_POLY_SIGMA=1.2, SIGMA=2.0) and its boundary
+semantics (wrap-around modular indexing, flowdenoising.py:137; the sequential
+variant mean-pads instead, flowdenoising_sequential.py:88-89 -- both are
+selectable here, plus a `replicate` mode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Boundary(str, enum.Enum):
+    """Boundary handling for the filtered axis.
+
+    WRAP      -- modular indexing, matches the reference main CLI
+                 (flowdenoising.py:137: ``vol[(z + i - ks2) % Z]``).
+    MEAN      -- pad with the volume mean, matches the sequential variant
+                 (flowdenoising_sequential.py:88-89).
+    REPLICATE -- clamp to the edge slice (new, often the best choice for
+                 tomography stacks).
+    """
+
+    WRAP = "wrap"
+    MEAN = "mean"
+    REPLICATE = "replicate"
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Farneback optical-flow estimator parameters.
+
+    Field-for-field equivalent of the cv2.calcOpticalFlowFarneback call at
+    /root/reference/src/flowdenoising.py:69-79.
+    """
+
+    levels: int = 3          # -l / --levels (pyramid levels above full res)
+    winsize: int = 5         # -w / --winsize (box aggregation window)
+    iterations: int = 3      # OF_ITERS
+    poly_n: int = 5          # OF_POLY_N (polynomial expansion half-window)
+    poly_sigma: float = 1.2  # OF_POLY_SIGMA
+    pyr_scale: float = 0.5   # fixed in the reference
+    use_initial_flow: bool = True  # OPTFLOW_USE_INITIAL_FLOW seeding; False
+                                   # reproduces --recompute_flow
+    # Minimum pyramid image extent; levels are clamped so the coarsest image
+    # is at least this wide/tall (OpenCV farneback.cpp min_size).
+    min_size: int = 32
+    # Compute dtype for flow internals.  float32 matches the reference;
+    # bfloat16 trades a little accuracy for MXU throughput.
+    dtype: str = "float32"
+
+    def clamped_levels(self, height: int, width: int) -> int:
+        """Number of pyramid levels actually used for an image size.
+
+        Reproduces OpenCV's clamping loop: stop before a level whose scaled
+        extent would drop below ``min_size``.
+        """
+        k = 0
+        scale = 1.0
+        while k < self.levels:
+            scale *= self.pyr_scale
+            if width * scale < self.min_size or height * scale < self.min_size:
+                break
+            k += 1
+        return k
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Separable OF-compensated Gaussian filter parameters."""
+
+    sigma: tuple[float, float, float] = (2.0, 2.0, 2.0)  # (Z, Y, X)
+    boundary: Boundary = Boundary.WRAP
+    use_flow: bool = True     # False == -n / --no_OF
+    flow: FlowConfig = dataclasses.field(default_factory=FlowConfig)
+    # Output slices are processed in slabs of this many slices to bound HBM
+    # footprint; None = whole axis at once.
+    slab_size: int | None = None

@@ -1,0 +1,139 @@
+"""Per-axis filtering passes (the reference's L2 "filtering core").
+
+Two pass kinds, both operating along axis 0 of a (N, H, W) stack (the
+pipeline transposes the volume so the filtered axis is always leading and the
+in-plane dims stay contiguous/minor -- TPU-friendly):
+
+- ``gaussian_pass``: plain separable Gaussian correlation along the axis;
+  replaces GaussianDenoising.filter_along_*_slice
+  (/root/reference/src/flowdenoising.py:133-158).
+- ``of_pass``: optical-flow-compensated accumulation; replaces
+  FlowDenoising.filter_along_*_slice (/root/reference/src/flowdenoising.py:306-373).
+  Per output slice, each kernel tap estimates Farneback flow from the target
+  slice to the tap's neighbor slice, warps the neighbor onto the target, and
+  accumulates with the tap weight.  Flow is chained tap-to-tap outward from
+  the center in two runs (center-1 .. 0 and center+1 .. end), seeded through
+  OPTFLOW_USE_INITIAL_FLOW semantics, exactly like the reference.
+
+TPU-first design notes:
+- All output slices of a pass are processed as one batch; the tap loop is a
+  short static unroll (kernel support <= ~33).
+- The Gaussian image pyramid and polynomial expansion of every slice are
+  computed ONCE per pass and shared by all (target, neighbor) pairs.  The
+  reference recomputes them inside cv2 for each of the K-1 tap pairs per
+  output slice, i.e. ~2*(K-1) redundant expansions per slice; caching them is
+  the single biggest algorithmic win of the rebuild.
+- Boundary handling is materialized by padding the stack with ks2 slices per
+  side (wrap / mean / replicate; see config.Boundary).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
+from flowdenoising_tpu.ops.farneback import polyexp_pyramid, flow_from_pyramids
+from flowdenoising_tpu.ops.warp import warp_slices
+
+
+def pad_stack(vol: jnp.ndarray, pad: int, boundary: Boundary,
+              mean_val: jnp.ndarray | float | None = None) -> jnp.ndarray:
+    """Pad axis 0 of (N, H, W) by ``pad`` slices per side.
+
+    WRAP matches the reference main CLI's modular indexing
+    (flowdenoising.py:137); MEAN matches the sequential variant's
+    ``np.full(fill_value=mean)`` padding (flowdenoising_sequential.py:88-89).
+    """
+    if pad == 0:
+        return vol
+    if boundary is Boundary.WRAP:
+        return jnp.concatenate([vol[-pad:], vol, vol[:pad]], axis=0)
+    if boundary is Boundary.REPLICATE:
+        return jnp.pad(vol, ((pad, pad), (0, 0), (0, 0)), mode="edge")
+    if boundary is Boundary.MEAN:
+        if mean_val is None:
+            mean_val = jnp.mean(vol)
+        fill = jnp.broadcast_to(jnp.asarray(mean_val, vol.dtype), (pad,) + vol.shape[1:])
+        return jnp.concatenate([fill, vol, fill], axis=0)
+    raise ValueError(f"unknown boundary {boundary}")
+
+
+def gaussian_pass_padded(padded: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Separable Gaussian correlation along axis 0 of a pre-padded stack.
+
+    padded: (N + 2*ks2, H, W) with boundary context already materialized;
+    returns the N interior output slices.
+    """
+    taps = np.asarray(taps, dtype=np.float64)
+    ks2 = len(taps) // 2
+    padded = padded.astype(jnp.float32)
+    n = padded.shape[0] - 2 * ks2
+    h, w = padded.shape[1], padded.shape[2]
+    x = padded.reshape(1, 1, n + 2 * ks2, h * w)
+    k = jnp.asarray(taps, dtype=jnp.float32).reshape(1, 1, -1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NCHW", "OIHW", "NCHW"))
+    out = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID", dimension_numbers=dn,
+                                       preferred_element_type=jnp.float32)
+    return out.reshape(n, h, w)
+
+
+def gaussian_pass(vol: jnp.ndarray, taps: np.ndarray, boundary: Boundary = Boundary.WRAP,
+                  mean_val=None) -> jnp.ndarray:
+    """Separable Gaussian correlation along axis 0 of (N, H, W)."""
+    ks2 = len(taps) // 2
+    return gaussian_pass_padded(pad_stack(vol.astype(jnp.float32), ks2, boundary, mean_val), taps)
+
+
+def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) -> jnp.ndarray:
+    """OF-compensated Gaussian pass along axis 0 of a pre-padded stack.
+
+    padded: (N + 2*ks2, H, W) with boundary context already materialized;
+    returns the N interior output slices.
+
+    Equivalent math to FlowDenoising.filter_along_Z_slice applied to every z
+    at once (flowdenoising.py:306-327): two outward tap runs with chained
+    prev_flow, center tap unwarped.
+    """
+    taps = np.asarray(taps, dtype=np.float64)
+    ksize = len(taps)
+    assert ksize % 2 == 1, "kernel size must be odd"
+    ks2 = ksize // 2
+    dtype = jnp.dtype(flow_cfg.dtype)
+    padded = padded.astype(dtype)
+    n = padded.shape[0] - 2 * ks2
+    h, w = padded.shape[1], padded.shape[2]
+    vol = padded[ks2:ks2 + n]
+
+    # Pyramid + polynomial expansion of every (padded) slice, computed once.
+    r_levels = polyexp_pyramid(padded, flow_cfg)
+    r0_levels = [r[ks2:ks2 + n] for r in r_levels]
+
+    acc = vol * jnp.asarray(taps[ks2], dtype)
+
+    def run(offsets_and_weights, acc):
+        prev_flow = jnp.zeros((n, h, w, 2), dtype=dtype) if flow_cfg.use_initial_flow else None
+        for off, weight in offsets_and_weights:
+            r1_levels = [r[ks2 + off:ks2 + off + n] for r in r_levels]
+            flow = flow_from_pyramids(r0_levels, r1_levels, flow_cfg, prev_flow)
+            if flow_cfg.use_initial_flow:
+                prev_flow = flow
+            neighbor = padded[ks2 + off:ks2 + off + n]
+            acc = acc + warp_slices(neighbor, flow) * jnp.asarray(weight, dtype)
+        return acc
+
+    # Backward run: i = ks2-1 .. 0  <=> offsets -1 .. -ks2, weights taps[i].
+    acc = run([(-j, taps[ks2 - j]) for j in range(1, ks2 + 1)], acc)
+    # Forward run: i = ks2+1 .. K-1 <=> offsets +1 .. +ks2.
+    acc = run([(+j, taps[ks2 + j]) for j in range(1, ks2 + 1)], acc)
+    return acc.astype(jnp.float32)
+
+
+def of_pass(vol: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig,
+            boundary: Boundary = Boundary.WRAP, mean_val=None) -> jnp.ndarray:
+    """OF-compensated Gaussian pass along axis 0 of (N, H, W)."""
+    ks2 = len(taps) // 2
+    dtype = jnp.dtype(flow_cfg.dtype)
+    padded = pad_stack(vol.astype(dtype), ks2, boundary, mean_val)
+    return of_pass_padded(padded, taps, flow_cfg)

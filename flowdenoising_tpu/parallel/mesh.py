@@ -1,0 +1,140 @@
+"""Multi-chip slice-sharded denoising (jax.sharding Mesh + shard_map).
+
+TPU-native replacement for the reference's process data-parallelism over
+/dev/shm shared memory (/root/reference/src/flowdenoising_GPU.py:426-467):
+
+- The volume is sharded along the filtered axis over a 1-D device mesh.
+- Each pass needs only +-ks2 ghost slices per shard; these ride the ICI via
+  ``jax.lax.ppermute`` ring halo exchange (`halo_exchange`).  This is the
+  mesh-collective form of the reviewer solution's interior+halo chunk upload
+  (/root/reference/tests/flowdenoising_reviewer_solution2.py:493-512).
+- Between passes the filtered axis changes (Z -> Y -> X); a transpose with a
+  sharding constraint re-shards the volume, which XLA lowers to an
+  all-to-all over ICI -- the distributed analogue of the reference's
+  pass-boundary buffer swap (flowdenoising.py:285-290).
+
+Wrap boundary maps exactly onto the ring: device 0's left halo is the last
+device's trailing slices.  Mean/replicate boundaries overwrite the outermost
+halos on the edge devices.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flowdenoising_tpu.config import Boundary, FilterConfig
+from flowdenoising_tpu.core.axis_filter import gaussian_pass_padded, of_pass_padded
+from flowdenoising_tpu.core.pipeline import _axis_views
+from flowdenoising_tpu.kernels import get_gaussian_kernels
+
+AXIS = "z"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def usable_device_count(shape: tuple[int, int, int], max_halo: int,
+                        n_devices: int) -> int:
+    """Largest device count <= n_devices that evenly divides every axis and
+    keeps each local shard at least one halo wide."""
+    d = n_devices
+    while d > 1:
+        if all(s % d == 0 and s // d >= max_halo for s in shape):
+            return d
+        d -= 1
+    return 1
+
+
+def halo_exchange(local: jnp.ndarray, halo: int, boundary: Boundary,
+                  mean_val, axis_name: str = AXIS) -> jnp.ndarray:
+    """Concatenate ghost slices from ring neighbors onto a local (n, H, W)
+    block: returns (n + 2*halo, H, W).  Must run inside shard_map."""
+    n_dev = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    # Left halo: previous device's trailing slices; right halo: next device's
+    # leading slices.  Ring wraparound realizes the WRAP boundary globally.
+    left = jax.lax.ppermute(local[-halo:], axis_name, fwd)
+    right = jax.lax.ppermute(local[:halo], axis_name, bwd)
+    if boundary is not Boundary.WRAP:
+        if boundary is Boundary.REPLICATE:
+            lfill = jnp.broadcast_to(local[:1], left.shape)
+            rfill = jnp.broadcast_to(local[-1:], right.shape)
+        else:  # MEAN
+            fill = jnp.asarray(mean_val, local.dtype)
+            lfill = jnp.broadcast_to(fill, left.shape)
+            rfill = jnp.broadcast_to(fill, right.shape)
+        is_first = (idx == 0)
+        is_last = (idx == n_dev - 1)
+        left = jnp.where(is_first, lfill, left)
+        right = jnp.where(is_last, rfill, right)
+    return jnp.concatenate([left, local, right], axis=0)
+
+
+def _sharded_pass(padded_pass_fn, mesh: Mesh, vol: jnp.ndarray, taps,
+                  boundary: Boundary, mean_val) -> jnp.ndarray:
+    ks2 = len(taps) // 2
+    spec = P(AXIS, None, None)
+
+    def local_fn(block, mv):
+        window = halo_exchange(block, ks2, boundary, mv)
+        return padded_pass_fn(window, taps)
+
+    mv = jnp.asarray(0.0 if mean_val is None else mean_val, vol.dtype)
+    return jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, P()), out_specs=spec,
+    )(vol, mv)
+
+
+def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
+                    n_devices: int | None = None, mesh: Mesh | None = None,
+                    jit: bool = True):
+    """Slice-sharded Z->Y->X denoise over a 1-D device mesh.
+
+    Falls back to fewer devices when the volume axes are not divisible by
+    the requested count (documented limitation of round 1; remainder-wave
+    padding lands with uneven-shard support).
+    """
+    kernels = get_gaussian_kernels(cfg.sigma) if kernels is None else kernels
+    vol = jnp.asarray(vol, dtype=jnp.float32)
+    max_halo = max(len(k) // 2 for k in kernels)
+    if mesh is None:
+        want = n_devices if n_devices is not None else len(jax.devices())
+        usable = usable_device_count(vol.shape, max_halo, want)
+        mesh = make_mesh(usable)
+
+    if cfg.use_flow:
+        def padded_pass(window, taps):
+            return of_pass_padded(window, taps, cfg.flow)
+    else:
+        padded_pass = gaussian_pass_padded
+
+    def run(v):
+        mean_val = jnp.mean(v) if cfg.boundary is Boundary.MEAN else None
+        out = v
+        for (fwd_t, inv_t), taps in zip(_axis_views(), kernels):
+            t = jnp.transpose(out, fwd_t)
+            # Re-shard the new leading (filtered) axis across the mesh; XLA
+            # lowers the layout change to an all-to-all over ICI.
+            t = jax.lax.with_sharding_constraint(
+                t, NamedSharding(mesh, P(AXIS, None, None)))
+            t = _sharded_pass(padded_pass, mesh, t, taps, cfg.boundary, mean_val)
+            out = jnp.transpose(t, inv_t)
+        return out
+
+    if jit:
+        in_sharding = NamedSharding(mesh, P(AXIS, None, None))
+        vol = jax.device_put(vol, in_sharding)
+        run = jax.jit(run, in_shardings=in_sharding, out_shardings=in_sharding)
+    return run(vol)
