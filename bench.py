@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark: TPU OF-compensated denoise throughput vs the CPU reference path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mvoxel/s", "vs_baseline": N, ...}
+
+- TPU side: jit-compiled full 3-pass OF denoise (sigma=2 -> 17 taps/axis,
+  levels=3, winsize=5, wrap boundary -- the reference main CLI defaults) on a
+  synthetic drifting-blob volume, timed after warmup.
+- Baseline side: the reference algorithm (cv2.calcOpticalFlowFarneback +
+  cv2.remap, identical tap/chaining semantics) timed on a smaller volume of
+  the same slice extent, converted to Mvoxel/s.  The reference repo publishes
+  no numbers (BASELINE.md), so this measured oracle is the baseline.
+
+Env knobs: BENCH_SIZE (default 256), BENCH_BASELINE_Z (default 4; 0 skips,
+using a cached/default baseline rate), BENCH_MODE (of|gauss).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_volume(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    pad = 16
+    yy, xx = np.mgrid[0:h + 2 * pad, 0:w + 2 * pad]
+    base = np.zeros((h + 2 * pad, w + 2 * pad), np.float32)
+    for _ in range(30):
+        cy = rng.uniform(pad, h + pad)
+        cx = rng.uniform(pad, w + pad)
+        rad = rng.uniform(4, 18)
+        amp = rng.uniform(50, 200)
+        base += amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * rad * rad))
+    vol = np.zeros((n, h, w), np.float32)
+    oy = ox = float(pad)
+    for z in range(n):
+        iy, ix = int(round(oy)), int(round(ox))
+        vol[z] = base[iy:iy + h, ix:ix + w]
+        oy = min(max(oy + rng.uniform(-0.7, 0.7), 0), 2 * pad - 1)
+        ox = min(max(ox + rng.uniform(-0.7, 0.7), 0), 2 * pad - 1)
+    vol += rng.normal(scale=8.0, size=vol.shape).astype(np.float32)
+    return vol
+
+
+def bench_tpu(vol, cfg, slab_size):
+    import jax
+    import jax.numpy as jnp
+    from flowdenoising_tpu.core.pipeline import denoise
+
+    def fn(v):
+        return denoise(v, cfg)
+
+    jfn = jax.jit(fn)
+    v = jax.device_put(jnp.asarray(vol))
+    out = jfn(v)
+    out.block_until_ready()  # warmup + compile
+    t0 = time.perf_counter()
+    reps = 1
+    for _ in range(reps):
+        out = jfn(v)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return dt, np.asarray(out[0, 0, :4])
+
+
+def bench_cpu_reference(z, h, w, sigma, levels, winsize):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import ref_pipeline as R
+    from flowdenoising_tpu.kernels import get_gaussian_kernels
+    vol = make_volume(z, h, w, seed=1)
+    ks = get_gaussian_kernels((sigma,) * 3)
+    t0 = time.perf_counter()
+    # one Z-pass over z slices = z/(Z) of a full Z pass; scale to the 3-pass
+    # cost analytically: passes are symmetric in slice count x tap count.
+    R.of_filter_axis_wrap(vol, ks[0], 0, levels, winsize, seeded=True)
+    dt_pass = time.perf_counter() - t0
+    voxels = vol.size
+    # full pipeline = 3 such passes over the same voxel count
+    rate = voxels / (3 * dt_pass) / 1e6
+    return rate
+
+
+def main():
+    size = int(os.environ.get("BENCH_SIZE", "256"))
+    mode = os.environ.get("BENCH_MODE", "of")
+    baseline_z = int(os.environ.get("BENCH_BASELINE_Z", "4"))
+    sigma = 2.0
+    levels, winsize = 3, 5
+
+    from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
+    cfg = FilterConfig(
+        sigma=(sigma,) * 3, boundary=Boundary.WRAP, use_flow=(mode == "of"),
+        flow=FlowConfig(levels=levels, winsize=winsize, use_initial_flow=True),
+        slab_size=None)
+
+    vol = make_volume(size, size, size, seed=0)
+    dt, _ = bench_tpu(vol, cfg, cfg.slab_size)
+    tpu_rate = vol.size / dt / 1e6
+
+    if baseline_z > 0 and mode == "of":
+        cpu_rate = bench_cpu_reference(baseline_z, size, size, sigma, levels, winsize)
+    else:
+        cpu_rate = None
+
+    result = {
+        "metric": f"{'OF' if mode == 'of' else 'Gaussian'} denoise throughput, "
+                  f"{size}^3 f32, sigma=2 (17 taps/axis), levels={levels}, winsize={winsize}",
+        "value": round(tpu_rate, 3),
+        "unit": "Mvoxel/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2) if cpu_rate else None,
+        "tpu_seconds": round(dt, 3),
+        "cpu_reference_Mvoxel_s": round(cpu_rate, 4) if cpu_rate else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

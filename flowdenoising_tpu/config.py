@@ -52,6 +52,10 @@ class FlowConfig:
     # Compute dtype for flow internals.  float32 matches the reference;
     # bfloat16 trades a little accuracy for MXU throughput.
     dtype: str = "float32"
+    # MXU pass precision for convs/matmuls inside the flow computation.
+    # TPU hardware defaults f32 matmuls to bfloat16 passes; "float32" (3-pass)
+    # keeps cv2-level parity, "bfloat16" is the fast mode.
+    precision: str = "float32"
 
     def clamped_levels(self, height: int, width: int) -> int:
         """Number of pyramid levels actually used for an image size.

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
-from flowdenoising_tpu.ops.farneback import polyexp_pyramid, flow_from_pyramids
+from flowdenoising_tpu.ops.farneback import (
+    polyexp_pyramid, flow_from_pyramids, matmul_precision)
 from flowdenoising_tpu.ops.warp import warp_slices
 
 
@@ -106,27 +107,47 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
     h, w = padded.shape[1], padded.shape[2]
     vol = padded[ks2:ks2 + n]
 
-    # Pyramid + polynomial expansion of every (padded) slice, computed once.
-    r_levels = polyexp_pyramid(padded, flow_cfg)
-    r0_levels = [r[ks2:ks2 + n] for r in r_levels]
+    with matmul_precision(flow_cfg):
+        # Pyramid + polynomial expansion of every (padded) slice, computed once.
+        r_levels = polyexp_pyramid(padded, flow_cfg)
+        r0_levels = [r[ks2:ks2 + n] for r in r_levels]
 
-    acc = vol * jnp.asarray(taps[ks2], dtype)
+        acc0 = vol * jnp.asarray(taps[ks2], dtype)
 
-    def run(offsets_and_weights, acc):
-        prev_flow = jnp.zeros((n, h, w, 2), dtype=dtype) if flow_cfg.use_initial_flow else None
-        for off, weight in offsets_and_weights:
-            r1_levels = [r[ks2 + off:ks2 + off + n] for r in r_levels]
-            flow = flow_from_pyramids(r0_levels, r1_levels, flow_cfg, prev_flow)
-            if flow_cfg.use_initial_flow:
-                prev_flow = flow
-            neighbor = padded[ks2 + off:ks2 + off + n]
-            acc = acc + warp_slices(neighbor, flow) * jnp.asarray(weight, dtype)
-        return acc
+        # Tap loop as lax.scan: the pyramid solver is traced/compiled once
+        # instead of 2*ks2 times (compile-time critical at sigma=2 -> 17 taps).
+        # The chained prev_flow is the scan carry (reference semantics:
+        # flowdenoising.py:310-324).
+        def body(carry, xs):
+            prev_flow, acc = carry
+            start, weight = xs
+            r1_levels = [
+                jax.lax.dynamic_slice_in_dim(r, start, n, axis=0)
+                for r in r_levels
+            ]
+            flow = flow_from_pyramids(
+                r0_levels, r1_levels, flow_cfg,
+                prev_flow if flow_cfg.use_initial_flow else None)
+            neighbor = jax.lax.dynamic_slice_in_dim(padded, start, n, axis=0)
+            acc = acc + warp_slices(neighbor, flow) * weight
+            return (flow, acc), None
 
-    # Backward run: i = ks2-1 .. 0  <=> offsets -1 .. -ks2, weights taps[i].
-    acc = run([(-j, taps[ks2 - j]) for j in range(1, ks2 + 1)], acc)
-    # Forward run: i = ks2+1 .. K-1 <=> offsets +1 .. +ks2.
-    acc = run([(+j, taps[ks2 + j]) for j in range(1, ks2 + 1)], acc)
+        def run(offsets, weights, acc):
+            # Zero initial flow, derived from the (possibly shard_map-varying)
+            # volume so the scan carry has consistent varying-manual-axes
+            # typing inside shard_map.
+            prev_flow = jnp.zeros((n, h, w, 2), dtype=dtype) + vol[..., None] * 0
+            xs = (jnp.asarray([ks2 + o for o in offsets], jnp.int32),
+                  jnp.asarray(weights, dtype))
+            (_, acc), _ = jax.lax.scan(body, (prev_flow, acc), xs)
+            return acc
+
+        # Backward run: i = ks2-1 .. 0  <=> offsets -1 .. -ks2, weights taps[i].
+        acc = run([-j for j in range(1, ks2 + 1)],
+                  [taps[ks2 - j] for j in range(1, ks2 + 1)], acc0)
+        # Forward run: i = ks2+1 .. K-1 <=> offsets +1 .. +ks2.
+        acc = run([+j for j in range(1, ks2 + 1)],
+                  [taps[ks2 + j] for j in range(1, ks2 + 1)], acc)
     return acc.astype(jnp.float32)
 
 

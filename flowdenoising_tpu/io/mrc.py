@@ -91,6 +91,24 @@ def read_mrc(path: str | os.PathLike, memory_map: bool = False):
     return data, hdr
 
 
+def read_mrc_f32(path: str | os.PathLike, n_threads: int | None = None) -> np.ndarray:
+    """Read an MRC volume directly as float32 (Z, Y, X), using the native
+    C++ decode/convert path when libfdio is built (single copy, fused dtype
+    conversion), NumPy otherwise."""
+    with open(path, "rb") as f:
+        hdr = _parse_header(f.read(_HEADER_BYTES))
+    offset = _HEADER_BYTES + hdr.nsymbt
+    count = hdr.nx * hdr.ny * hdr.nz
+    if hdr.little_endian:
+        from flowdenoising_tpu import runtime
+        flat = runtime.read_convert_f32(str(path), offset, count, hdr.mode,
+                                        n_threads=n_threads)
+        if flat is not None:
+            return flat.reshape(hdr.shape)
+    data = np.fromfile(path, dtype=hdr.dtype, count=count, offset=offset)
+    return data.reshape(hdr.shape).astype(np.float32)
+
+
 def write_mrc(path: str | os.PathLike, data: np.ndarray, voxel_size=None) -> None:
     """Write (Z, Y, X) data as a minimal MRC2014 file (mrcfile-compatible)."""
     data = np.ascontiguousarray(data)
@@ -102,10 +120,16 @@ def write_mrc(path: str | os.PathLike, data: np.ndarray, voxel_size=None) -> Non
     mode = _DTYPE_MODES[np.dtype(dt.base.name)]
     nz, ny, nx = data.shape
 
-    dmin = float(data.min()) if data.size else 0.0
-    dmax = float(data.max()) if data.size else -1.0
-    dmean = float(data.mean()) if data.size else -2.0
-    rms = float(data.std()) if data.size else -1.0
+    if data.size and mode == 2:
+        from flowdenoising_tpu import runtime
+        dmin, dmax, dmean, rms = runtime.stats_f32(data)
+    elif data.size:
+        dmin = float(data.min())
+        dmax = float(data.max())
+        dmean = float(data.mean())
+        rms = float(data.std())
+    else:
+        dmin, dmax, dmean, rms = 0.0, -1.0, -2.0, -1.0
 
     hdr = bytearray(_HEADER_BYTES)
     struct.pack_into("<4i", hdr, 0, nx, ny, nz, mode)
@@ -126,6 +150,10 @@ def write_mrc(path: str | os.PathLike, data: np.ndarray, voxel_size=None) -> Non
     label = b"Created by flowdenoising_tpu"
     hdr[224:224 + len(label)] = label
 
+    if mode == 2 and data.dtype.byteorder in ("=", "<", "|"):
+        from flowdenoising_tpu import runtime
+        if runtime.write_raw(str(path), bytes(hdr), data):
+            return
     with open(path, "wb") as f:
         f.write(bytes(hdr))
         data.astype(data.dtype.newbyteorder("<"), copy=False).tofile(f)

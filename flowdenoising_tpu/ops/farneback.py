@@ -269,6 +269,13 @@ def flow_from_pyramids(r0_levels: list[jnp.ndarray], r1_levels: list[jnp.ndarray
     return flow
 
 
+def matmul_precision(cfg: FlowConfig):
+    """Context manager pinning the MXU pass precision for everything traced
+    inside (pyramid resizes, polyexp convs, box blurs)."""
+    return jax.default_matmul_precision(
+        "bfloat16" if cfg.precision == "bfloat16" else "float32")
+
+
 def farneback_flow(reference: jnp.ndarray, target: jnp.ndarray,
                    cfg: FlowConfig = FlowConfig(),
                    initial_flow: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -281,6 +288,7 @@ def farneback_flow(reference: jnp.ndarray, target: jnp.ndarray,
     ``warp_slices(reference, flow) ~ target``.
     """
     dtype = jnp.dtype(cfg.dtype)
-    r0 = polyexp_pyramid(target.astype(dtype), cfg)
-    r1 = polyexp_pyramid(reference.astype(dtype), cfg)
-    return flow_from_pyramids(r0, r1, cfg, initial_flow)
+    with matmul_precision(cfg):
+        r0 = polyexp_pyramid(target.astype(dtype), cfg)
+        r1 = polyexp_pyramid(reference.astype(dtype), cfg)
+        return flow_from_pyramids(r0, r1, cfg, initial_flow)

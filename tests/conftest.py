@@ -3,10 +3,17 @@ run without TPU hardware (SURVEY.md section 4 test strategy)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The environment's sitecustomize registers the axon TPU backend with
+# priority in every interpreter; force the CPU platform explicitly so tests
+# run on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 sys.path.insert(0, os.path.dirname(__file__))

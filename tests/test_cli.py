@@ -1,0 +1,57 @@
+"""End-to-end CLI tests (the reference's test_me.sh smoke tier, on synthetic
+volumes instead of downloads)."""
+
+import numpy as np
+
+from conftest import make_blob_volume
+from flowdenoising_tpu.cli import main, build_parser
+from flowdenoising_tpu.io.mrc import read_mrc, write_mrc
+from flowdenoising_tpu.io.tiff import write_tiff, read_tiff
+
+
+def test_parser_reference_flags():
+    p = build_parser()
+    args = p.parse_args(["-i", "a.mrc", "-o", "b.mrc", "-s", "2.0", "1.0", "3.0",
+                         "-l", "2", "-w", "9", "-v", "1", "-n", "-m",
+                         "-p", "8", "--recompute_flow"])
+    assert args.input == "a.mrc"
+    assert [float(s) for s in args.sigma] == [2.0, 1.0, 3.0]
+    assert args.levels == 2 and args.winsize == 9
+    assert args.no_OF and args.memory_map and args.recompute_flow
+
+
+def test_cli_no_of_mrc_roundtrip(tmp_path):
+    vol = make_blob_volume(8, 16, 16, seed=11)
+    src = tmp_path / "in.mrc"
+    dst = tmp_path / "out.mrc"
+    write_mrc(src, vol)
+    rc = main(["-i", str(src), "-o", str(dst), "-n", "-s", "1.0"])
+    assert rc == 0
+    out, hdr = read_mrc(dst)
+    assert hdr.mode == 2
+    assert out.shape == vol.shape
+    # smoothing shrinks variance but keeps the mean (wrap boundary)
+    assert abs(out.mean() - vol.mean()) < 0.3
+    assert out.std() < vol.std()
+
+
+def test_cli_of_tiff(tmp_path):
+    vol = make_blob_volume(6, 32, 32, seed=12)
+    src = tmp_path / "in.tif"
+    dst = tmp_path / "out.tif"
+    write_tiff(src, vol.astype(np.float32))
+    rc = main(["-i", str(src), "-o", str(dst), "-s", "0.5", "-l", "0", "-w", "5"])
+    assert rc == 0
+    out = read_tiff(dst)
+    assert out.shape == vol.shape
+    assert np.isfinite(out).all()
+
+
+def test_cli_fingerprint(capsys, tmp_path):
+    vol = make_blob_volume(4, 16, 16, seed=13)
+    src = tmp_path / "in.mrc"
+    dst = tmp_path / "out.mrc"
+    write_mrc(src, vol)
+    main(["-i", str(src), "-o", str(dst), "-n", "-s", "0.5", "--show_fingerprint"])
+    captured = capsys.readouterr()
+    assert "fingerprint =" in captured.out

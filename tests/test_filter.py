@@ -1,0 +1,110 @@
+"""Axis-pass and pipeline parity vs the reference-semantics cv2 oracle
+(tests/ref_pipeline.py).
+
+Volumes are small (levels clamp to 0 below 32px per OpenCV's min_size, which
+both sides honor) and sigma=0.5 keeps the kernel at 5 taps so the cv2 oracle
+stays fast on this 1-core machine.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import ref_pipeline as R
+from conftest import make_blob_volume
+from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
+from flowdenoising_tpu.core.axis_filter import gaussian_pass, of_pass
+from flowdenoising_tpu.core.pipeline import denoise, gaussian_denoise
+from flowdenoising_tpu.kernels import get_gaussian_kernel, get_gaussian_kernels
+
+SIGMA = 0.5
+L = 3
+W = 5
+# cv2.remap quantizes coords to 1/32; with slice gradients up to ~40/px the
+# per-tap warp can differ by ~0.6 in the worst voxel.  Mean stays far tighter.
+TOL_MAX = 1.0
+TOL_MEAN = 0.02
+
+
+def _vol():
+    return make_blob_volume(12, 36, 40, seed=1)
+
+
+def test_gaussian_pass_wrap_matches_reference_math():
+    vol = _vol()
+    k = get_gaussian_kernel(2.0)
+    ours = np.asarray(gaussian_pass(jnp.asarray(vol), k, Boundary.WRAP))
+    ref = R.gaussian_filter_axis_wrap(vol, k, 0)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_gaussian_denoise_wrap_full():
+    vol = _vol()
+    ks = get_gaussian_kernels((1.0, 1.0, 1.0))
+    ours = np.asarray(gaussian_denoise(vol, (1.0, 1.0, 1.0)))
+    ref = R.gaussian_denoise_wrap(vol, ks)
+    np.testing.assert_allclose(ours, ref, atol=5e-3)
+
+
+@pytest.mark.parametrize("seeded", [True, False])
+def test_of_pass_wrap_matches_reference(seeded):
+    vol = _vol()
+    k = get_gaussian_kernel(SIGMA)
+    cfg = FlowConfig(levels=L, winsize=W, use_initial_flow=seeded)
+    ours = np.asarray(of_pass(jnp.asarray(vol), k, cfg, Boundary.WRAP))
+    ref = R.of_filter_axis_wrap(vol, k, 0, L, W, seeded=seeded)
+    err = np.abs(ours - ref)
+    assert err.max() < TOL_MAX, err.max()
+    assert err.mean() < TOL_MEAN, err.mean()
+
+
+def test_of_pass_meanpad_matches_sequential():
+    vol = _vol()
+    k = get_gaussian_kernel(SIGMA)
+    mean = vol.mean()
+    cfg = FlowConfig(levels=L, winsize=W, use_initial_flow=True)
+    ours = np.asarray(of_pass(jnp.asarray(vol), k, cfg, Boundary.MEAN, mean_val=mean))
+    ref = R.of_filter_axis_meanpad(vol, k, 0, L, W, mean, seeded=True)
+    err = np.abs(ours - ref)
+    assert err.max() < TOL_MAX
+    assert err.mean() < TOL_MEAN
+
+
+def test_full_denoise_wrap_matches_reference():
+    vol = make_blob_volume(10, 32, 36, seed=2)
+    ks = get_gaussian_kernels((SIGMA,) * 3)
+    cfg = FilterConfig(sigma=(SIGMA,) * 3, boundary=Boundary.WRAP,
+                       flow=FlowConfig(levels=L, winsize=W))
+    ours = np.asarray(denoise(vol, cfg))
+    ref = R.of_denoise_wrap(vol, ks, L, W, seeded=True)
+    assert R.psnr(ours, ref) > 55, R.psnr(ours, ref)
+    assert np.abs(ours - ref).mean() < 0.05
+
+
+def test_full_denoise_meanpad_matches_sequential():
+    vol = make_blob_volume(10, 32, 36, seed=3)
+    ks = get_gaussian_kernels((SIGMA,) * 3)
+    cfg = FilterConfig(sigma=(SIGMA,) * 3, boundary=Boundary.MEAN,
+                       flow=FlowConfig(levels=L, winsize=W))
+    ours = np.asarray(denoise(vol, cfg))
+    ref = R.of_denoise_meanpad(vol, ks, L, W, seeded=True)
+    assert R.psnr(ours, ref) > 55, R.psnr(ours, ref)
+
+
+def test_slab_mode_identical():
+    vol = make_blob_volume(12, 32, 32, seed=4)
+    cfg_full = FilterConfig(sigma=(SIGMA,) * 3, flow=FlowConfig(levels=0, winsize=W))
+    import dataclasses
+    cfg_slab = dataclasses.replace(cfg_full, slab_size=5)
+    a = np.asarray(denoise(vol, cfg_full))
+    b = np.asarray(denoise(vol, cfg_slab))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_replicate_boundary_runs():
+    vol = make_blob_volume(8, 32, 32, seed=5)
+    cfg = FilterConfig(sigma=(SIGMA,) * 3, boundary=Boundary.REPLICATE,
+                       flow=FlowConfig(levels=0, winsize=W))
+    out = np.asarray(denoise(vol, cfg))
+    assert out.shape == vol.shape
+    assert np.isfinite(out).all()

@@ -1,0 +1,85 @@
+"""MRC / TIFF volume I/O round-trips and header compliance."""
+
+import numpy as np
+import pytest
+
+from flowdenoising_tpu.io.mrc import read_mrc, write_mrc
+from flowdenoising_tpu.io.tiff import read_tiff, write_tiff
+from flowdenoising_tpu.io.volume import read_volume, write_volume, is_mrc_input, is_mrc_output
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.int16, np.int8, np.uint16, np.float16])
+def test_mrc_roundtrip(tmp_path, dtype):
+    r = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.floating):
+        vol = r.normal(size=(5, 7, 9)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        vol = r.integers(info.min, info.max, size=(5, 7, 9)).astype(dtype)
+    path = tmp_path / "t.mrc"
+    write_mrc(path, vol)
+    back, hdr = read_mrc(path)
+    assert hdr.shape == (5, 7, 9)
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_mrc_header_stats(tmp_path):
+    vol = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    path = tmp_path / "s.mrc"
+    write_mrc(path, vol)
+    _, hdr = read_mrc(path)
+    assert hdr.mode == 2
+    assert hdr.dmin == 0.0
+    assert hdr.dmax == 23.0
+    assert abs(hdr.dmean - vol.mean()) < 1e-5
+    assert hdr.little_endian
+
+
+def test_mrc_memory_map(tmp_path):
+    vol = np.random.default_rng(1).normal(size=(4, 6, 8)).astype(np.float32)
+    path = tmp_path / "m.mrc"
+    write_mrc(path, vol)
+    back, _ = read_mrc(path, memory_map=True)
+    np.testing.assert_array_equal(np.asarray(back), vol)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.uint8, np.uint16])
+def test_tiff_roundtrip(tmp_path, dtype):
+    r = np.random.default_rng(2)
+    if dtype == np.float32:
+        vol = r.normal(size=(3, 10, 12)).astype(dtype)
+    else:
+        vol = r.integers(0, np.iinfo(dtype).max, size=(3, 10, 12)).astype(dtype)
+    path = tmp_path / "t.tif"
+    write_tiff(path, vol)
+    back = read_tiff(path)
+    assert back.shape == (3, 10, 12)
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_extension_sniffing():
+    # input: substring match (reference flowdenoising.py:466)
+    assert is_mrc_input("a.mrc") and is_mrc_input("a.MRC") and is_mrc_input("a.mrcs")
+    assert not is_mrc_input("a.tif")
+    # output: exact match (reference flowdenoising.py:539)
+    assert is_mrc_output("a.mrc") and is_mrc_output("a.MRC")
+    assert not is_mrc_output("a.mrcs")
+
+
+def test_volume_dispatch_roundtrip(tmp_path):
+    vol = np.random.default_rng(3).normal(size=(4, 8, 8)).astype(np.float32)
+    for name in ("v.mrc", "v.tif"):
+        p = tmp_path / name
+        write_volume(p, vol)
+        back = read_volume(p)
+        np.testing.assert_allclose(np.asarray(back, np.float32), vol, rtol=1e-6)
+
+
+def test_mrc_interop_with_cv2_style_volume(tmp_path):
+    # int16 volume like a real tomogram; float32 output like the reference
+    vol = (np.random.default_rng(4).normal(size=(3, 5, 5)) * 1000).astype(np.int16)
+    p = tmp_path / "tomo.mrc"
+    write_mrc(p, vol)
+    back, hdr = read_mrc(p)
+    assert hdr.mode == 1
+    np.testing.assert_array_equal(back, vol)
