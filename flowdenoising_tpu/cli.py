@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard the volume over this many devices (default: all available)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="Optical-flow compute dtype")
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="Persist the volume after each completed axis pass here and "
+                        "resume from the last completed pass on restart")
     return p
 
 
@@ -119,15 +122,29 @@ def main(argv=None) -> int:
     logging.info(f"JAX backend: {devices[0].platform} with {len(devices)} device(s)")
     n_devices = args.devices or len(devices)
 
+    ckpt = None
+    start_pass, start_vol, mean_val = 0, np.asarray(vol), None
+    if args.checkpoint_dir:
+        from flowdenoising_tpu.utils.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(args.checkpoint_dir, cfg, np.asarray(vol))
+        resumed = ckpt.load_latest()
+        if resumed is not None:
+            start_pass, start_vol, mean_val = resumed
+
     with prof.phase("filter"):
-        if n_devices > 1:
+        if n_devices > 1 and ckpt is None:
             from flowdenoising_tpu.parallel.mesh import denoise_sharded
-            filtered = denoise_sharded(np.asarray(vol), cfg, kernels=kernels,
+            filtered = denoise_sharded(start_vol, cfg, kernels=kernels,
                                        n_devices=n_devices)
         else:
             from flowdenoising_tpu.core.pipeline import denoise
-            filtered = denoise(np.asarray(vol), cfg, kernels=kernels)
+            on_pass = (lambda i, v: ckpt.save_pass(i, v)) if ckpt else None
+            filtered = denoise(start_vol, cfg, kernels=kernels,
+                               start_pass=start_pass, mean_val=mean_val,
+                               on_pass=on_pass)
         filtered = np.asarray(filtered)
+    if ckpt is not None:
+        ckpt.clear()
 
     log_volume_stats(str(args.output), filtered)
 

@@ -69,35 +69,57 @@ def _axis_views():
 def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
                      boundary: Boundary = Boundary.WRAP,
                      slab_size: int | None = None,
-                     kernels=None) -> jnp.ndarray:
+                     kernels=None, start_pass: int = 0, mean_val=None,
+                     on_pass=None) -> jnp.ndarray:
     """No-OF separable 3-D Gaussian denoise (reference ``-n`` path)."""
     kernels = get_gaussian_kernels(sigma) if kernels is None else kernels
     vol = jnp.asarray(vol, dtype=jnp.float32)
-    mean_val = jnp.mean(vol) if boundary is Boundary.MEAN else None
+    if mean_val is None and boundary is Boundary.MEAN:
+        mean_val = jnp.mean(vol)
     out = vol
-    for (fwd, inv), taps in zip(_axis_views(), kernels):
+    for i, ((fwd, inv), taps) in enumerate(zip(_axis_views(), kernels)):
+        if i < start_pass:
+            continue
         t = jnp.transpose(out, fwd)
         t = _slabbed_pass(gaussian_pass_padded, t, taps, boundary, mean_val, slab_size)
         out = jnp.transpose(t, inv)
+        if on_pass is not None:
+            on_pass(i, out)
     return out
 
 
 def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
-            kernels=None) -> jnp.ndarray:
+            kernels=None, start_pass: int = 0, mean_val=None,
+            on_pass=None) -> jnp.ndarray:
     """Full OF-compensated denoise: Z, Y, X passes with Farneback-compensated
-    Gaussian accumulation (or the plain Gaussian when cfg.use_flow=False)."""
+    Gaussian accumulation (or the plain Gaussian when cfg.use_flow=False).
+
+    ``start_pass``/``mean_val``/``on_pass`` support pass-boundary
+    checkpoint/resume: when resuming at pass i, pass the checkpointed volume
+    as ``vol`` and the ORIGINAL input's mean as ``mean_val`` (the reference
+    sequential pipeline reuses the input mean for all passes,
+    flowdenoising_sequential.py:419-424).  ``on_pass(i, volume)`` is invoked
+    after each completed pass.
+    """
     if not cfg.use_flow:
-        return gaussian_denoise(vol, cfg.sigma, cfg.boundary, cfg.slab_size, kernels)
+        return gaussian_denoise(vol, cfg.sigma, cfg.boundary, cfg.slab_size, kernels,
+                                start_pass=start_pass, mean_val=mean_val,
+                                on_pass=on_pass)
     kernels = get_gaussian_kernels(cfg.sigma) if kernels is None else kernels
     vol = jnp.asarray(vol, dtype=jnp.float32)
-    mean_val = jnp.mean(vol) if cfg.boundary is Boundary.MEAN else None
+    if mean_val is None and cfg.boundary is Boundary.MEAN:
+        mean_val = jnp.mean(vol)
 
     def padded_pass(window, taps):
         return of_pass_padded(window, taps, cfg.flow)
 
     out = vol
-    for (fwd, inv), taps in zip(_axis_views(), kernels):
+    for i, ((fwd, inv), taps) in enumerate(zip(_axis_views(), kernels)):
+        if i < start_pass:
+            continue
         t = jnp.transpose(out, fwd)
         t = _slabbed_pass(padded_pass, t, taps, cfg.boundary, mean_val, cfg.slab_size)
         out = jnp.transpose(t, inv)
+        if on_pass is not None:
+            on_pass(i, out)
     return out
