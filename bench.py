@@ -56,15 +56,17 @@ def bench_tpu(vol, cfg, slab_size):
 
     jfn = jax.jit(fn)
     v = jax.device_put(jnp.asarray(vol))
+    # warmup + compile; a scalar fetch forces synchronization (more robust
+    # than block_until_ready across PJRT transports)
     out = jfn(v)
-    out.block_until_ready()  # warmup + compile
-    t0 = time.perf_counter()
-    reps = 1
-    for _ in range(reps):
+    float(out[0, 0, 0])
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
         out = jfn(v)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return dt, np.asarray(out[0, 0, :4])
+        float(out[0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best, None
 
 
 def bench_cpu_reference(z, h, w, sigma, levels, winsize):

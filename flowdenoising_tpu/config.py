@@ -56,6 +56,15 @@ class FlowConfig:
     # TPU hardware defaults f32 matmuls to bfloat16 passes; "float32" (3-pass)
     # keeps cv2-level parity, "bfloat16" is the fast mode.
     precision: str = "float32"
+    # Displacement bound (pixels) for the gather-free bilinear sampling fast
+    # paths.  Results are identical to the exact gather path whenever
+    # |flow| <= max_displacement (XLA's gather runs ~1e8 elem/s on TPU and
+    # would dominate the pipeline).  None selects the exact gather path.
+    max_displacement: int | None = 8
+    # Displacement sampler: "auto" (Pallas kernel on TPU, XLA window
+    # elsewhere), "pallas", "windowed", or exact gather when
+    # max_displacement is None.
+    sampler: str = "auto"
 
     def clamped_levels(self, height: int, width: int) -> int:
         """Number of pyramid levels actually used for an image size.

@@ -71,13 +71,12 @@ def gaussian_pass_padded(padded: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     ks2 = len(taps) // 2
     padded = padded.astype(jnp.float32)
     n = padded.shape[0] - 2 * ks2
-    h, w = padded.shape[1], padded.shape[2]
-    x = padded.reshape(1, 1, n + 2 * ks2, h * w)
-    k = jnp.asarray(taps, dtype=jnp.float32).reshape(1, 1, -1, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NCHW", "OIHW", "NCHW"))
-    out = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID", dimension_numbers=dn,
-                                       preferred_element_type=jnp.float32)
-    return out.reshape(n, h, w)
+    # Shift-and-add over the pre-padded stack: K fused reads, VPU-bound.
+    out = None
+    for k in range(len(taps)):
+        term = padded[k:k + n] * jnp.float32(taps[k])
+        out = term if out is None else out + term
+    return out
 
 
 def gaussian_pass(vol: jnp.ndarray, taps: np.ndarray, boundary: Boundary = Boundary.WRAP,
@@ -129,7 +128,9 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
                 r0_levels, r1_levels, flow_cfg,
                 prev_flow if flow_cfg.use_initial_flow else None)
             neighbor = jax.lax.dynamic_slice_in_dim(padded, start, n, axis=0)
-            acc = acc + warp_slices(neighbor, flow) * weight
+            warped = warp_slices(neighbor, flow, flow_cfg.max_displacement,
+                                 flow_cfg.sampler)
+            acc = acc + warped * weight
             return (flow, acc), None
 
         def run(offsets, weights, acc):

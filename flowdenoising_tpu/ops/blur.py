@@ -53,26 +53,37 @@ def smooth_kernel_for_level(level: int, pyr_scale: float = 0.5) -> np.ndarray:
     return opencv_gaussian_taps(ksize, sigma)
 
 
+def corr1d(img: jnp.ndarray, taps, axis: int, pad_mode: str) -> jnp.ndarray:
+    """1-D correlation along ``axis`` as an unrolled shift-and-add.
+
+    For the short taps used here (5..33) this is the TPU-optimal form: XLA
+    fuses the K shifted reads of one padded buffer into a single
+    bandwidth-bound VPU kernel, whereas 1-channel spatial convolutions lower
+    poorly (no contraction dim for the MXU).
+    """
+    taps = np.asarray(taps, dtype=np.float64)
+    r = len(taps) // 2
+    axis = axis % img.ndim
+    n = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    p = jnp.pad(img, pad, mode=pad_mode)
+    dtype = img.dtype
+    out = None
+    for k in range(len(taps)):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(k, k + n)
+        term = p[tuple(sl)] * jnp.asarray(taps[k], dtype)
+        out = term if out is None else out + term
+    return out
+
+
 def _sep_correlate(img: jnp.ndarray, taps_h: np.ndarray, taps_w: np.ndarray,
                    pad_mode: str) -> jnp.ndarray:
     """Separable 2-D correlation on the trailing axes with the given numpy
     pad mode ('reflect' == cv2 BORDER_REFLECT_101, 'edge' == BORDER_REPLICATE).
     """
-    dtype = img.dtype
-    batch_shape = img.shape[:-2]
-    h, w = img.shape[-2], img.shape[-1]
-    rh = len(taps_h) // 2
-    rw = len(taps_w) // 2
-    x = img.reshape((-1, 1, h, w))
-    x = jnp.pad(x, ((0, 0), (0, 0), (rh, rh), (rw, rw)), mode=pad_mode)
-    kh = jnp.asarray(taps_h, dtype=dtype).reshape(1, 1, -1, 1)
-    kw = jnp.asarray(taps_w, dtype=dtype).reshape(1, 1, 1, -1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                     preferred_element_type=dtype)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                     preferred_element_type=dtype)
-    return x.reshape(batch_shape + (h, w))
+    return corr1d(corr1d(img, taps_h, -2, pad_mode), taps_w, -1, pad_mode)
 
 
 def gaussian_blur(img: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:

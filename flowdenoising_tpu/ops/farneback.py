@@ -43,9 +43,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from flowdenoising_tpu.config import FlowConfig
-from flowdenoising_tpu.ops.blur import gaussian_blur, box_blur_sum, smooth_kernel_for_level, _sep_correlate
+from flowdenoising_tpu.ops.blur import (
+    gaussian_blur, box_blur_sum, smooth_kernel_for_level, _sep_correlate, corr1d)
 from flowdenoising_tpu.ops.resize import resize_linear, resize_area, pyramid_sizes
-from flowdenoising_tpu.ops.warp import bilinear_sample
+from flowdenoising_tpu.ops.warp import (
+    bilinear_sample, bilinear_displace_windowed, displace_sample)
 
 # Border down-weighting ramp (OpenCV farneback.cpp FarnebackUpdateMatrices).
 _BORDER_RAMP = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], dtype=np.float64)
@@ -86,44 +88,27 @@ def poly_expand(img: jnp.ndarray, n: int = 5, sigma: float = 1.2) -> jnp.ndarray
     Border handling: replicate, both axes.
     """
     g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_constants(n, float(sigma))
-    dtype = img.dtype
-    batch_shape = img.shape[:-2]
-    h, w = img.shape[-2], img.shape[-1]
 
-    x = img.reshape((-1, 1, h, w))
-    x = jnp.pad(x, ((0, 0), (0, 0), (n, n), (n, n)), mode="edge")
+    # Vertical: three correlations along H (g, xg, xxg), replicate border.
+    row0 = corr1d(img, g, -2, "edge")
+    row1 = corr1d(img, xg, -2, "edge")
+    row2 = corr1d(img, xxg, -2, "edge")
 
-    # Vertical pass: 1 channel -> 3 channels (g, xg, xxg correlations along H).
-    kv = np.stack([g, xg, xxg])[:, None, :, None]           # (3, 1, 2n+1, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kv.shape, ("NCHW", "OIHW", "NCHW"))
-    rows = jax.lax.conv_general_dilated(
-        x, jnp.asarray(kv, dtype=dtype), (1, 1), "VALID",
-        dimension_numbers=dn, preferred_element_type=dtype)
+    # Horizontal: six raw moments along W.
+    b1 = corr1d(row0, g, -1, "edge")
+    b2 = corr1d(row0, xg, -1, "edge")
+    b4 = corr1d(row0, xxg, -1, "edge")
+    b3 = corr1d(row1, g, -1, "edge")
+    b6 = corr1d(row1, xg, -1, "edge")
+    b5 = corr1d(row2, g, -1, "edge")
 
-    # Horizontal pass: 3 channels -> 6 raw moments along W.
-    #   b1 = g * row0,  b2 = xg * row0,  b3 = g * row1,
-    #   b4 = xxg * row0, b5 = g * row2,  b6 = xg * row1
-    kh = np.zeros((6, 3, 1, 2 * n + 1), dtype=np.float64)
-    kh[0, 0, 0, :] = g
-    kh[1, 0, 0, :] = xg
-    kh[2, 1, 0, :] = g
-    kh[3, 0, 0, :] = xxg
-    kh[4, 2, 0, :] = g
-    kh[5, 1, 0, :] = xg
-    dn2 = jax.lax.conv_dimension_numbers(rows.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    b = jax.lax.conv_general_dilated(
-        rows, jnp.asarray(kh, dtype=dtype), (1, 1), "VALID",
-        dimension_numbers=dn2, preferred_element_type=dtype)
-    b1, b2, b3, b4, b5, b6 = [b[:, i] for i in range(6)]
-
-    r = jnp.stack([
+    return jnp.stack([
         b3 * ig11,
         b2 * ig11,
         b1 * ig03 + b5 * ig33,
         b1 * ig03 + b4 * ig33,
         b6 * ig55,
     ], axis=-1)
-    return r.reshape(batch_shape + (h, w, 5))
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,11 +127,14 @@ def _border_scale_map(h: int, w: int) -> np.ndarray:
     return np.outer(sy, sx)
 
 
-def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
+                    max_displacement: int | None = None,
+                    sampler: str = "auto") -> jnp.ndarray:
     """Per-pixel normal-equation entries M = [G11, G12, G22, h1, h2].
 
     r0, r1: (..., H, W, 5) polynomial expansions of target and reference;
     flow: (..., H, W, 2) current displacement (x, y).
+    ``max_displacement`` selects the gather-free windowed sampling fast path.
     """
     h, w = r0.shape[-3], r0.shape[-2]
     dtype = r0.dtype
@@ -160,9 +148,11 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray) -> jnp.
     y1 = jnp.floor(fy)
     inb = (x1 >= 0) & (x1 <= w - 2) & (y1 >= 0) & (y1 <= h - 2)
 
-    # Bilinear sample of r1's five channels at the displaced positions.
-    # (Clamped gather; out-of-bounds lanes are masked out below.)
-    r1s = bilinear_sample(jnp.moveaxis(r1, -1, -3), fx[..., None, :, :], fy[..., None, :, :])
+    # Bilinear sample of r1's five channels at the displaced positions
+    # (out-of-bounds lanes are masked out below; sampling weights are shared
+    # across the channel dim).
+    r1c = jnp.moveaxis(r1, -1, -3)
+    r1s = displace_sample(r1c, dx, dy, max_displacement, sampler)
     r1s = jnp.moveaxis(r1s, -3, -1)
 
     half = jnp.asarray(0.5, dtype)
@@ -206,14 +196,25 @@ def update_flow(m: jnp.ndarray, winsize: int) -> jnp.ndarray:
     return jnp.stack([u, v], axis=-1)
 
 
-def _iterate_level(r0, r1, flow, cfg: FlowConfig):
+def _level_displacement(cfg: FlowConfig, level: int) -> int | None:
+    """Windowed-sampling bound at a pyramid level: flows at level k are the
+    full-resolution flow scaled by pyr_scale**k, so the window shrinks with
+    depth (never below 2 to cover iteration updates)."""
+    if cfg.max_displacement is None:
+        return None
+    d = int(np.ceil(cfg.max_displacement * (cfg.pyr_scale ** level))) + 1
+    return max(2, d)
+
+
+def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
     """Fixed-point iterations at one pyramid level (parallel-equivalent form
     of OpenCV's stripe-interleaved sweep; see module docstring)."""
-    m = update_matrices(r0, r1, flow)
+    d = _level_displacement(cfg, level)
+    m = update_matrices(r0, r1, flow, d, cfg.sampler)
     for i in range(cfg.iterations):
         flow = update_flow(m, cfg.winsize)
         if i < cfg.iterations - 1:
-            m = update_matrices(r0, r1, flow)
+            m = update_matrices(r0, r1, flow, d, cfg.sampler)
     return flow
 
 
@@ -265,7 +266,7 @@ def flow_from_pyramids(r0_levels: list[jnp.ndarray], r1_levels: list[jnp.ndarray
             f = jnp.moveaxis(flow, -1, -3)
             f = resize_linear(f, (hk, wk)) * (1.0 / cfg.pyr_scale)
             flow = jnp.moveaxis(f, -3, -1)
-        flow = _iterate_level(r0_levels[k], r1_levels[k], flow, cfg)
+        flow = _iterate_level(r0_levels[k], r1_levels[k], flow, cfg, level=k)
     return flow
 
 

@@ -70,15 +70,29 @@ def test_of_pass_meanpad_matches_sequential():
     assert err.mean() < TOL_MEAN
 
 
-def test_full_denoise_wrap_matches_reference():
+def test_full_denoise_wrap_matches_reference_exact():
+    # max_displacement=None: exact gather sampling, strict parity (wrap
+    # boundary pairs unrelated far-apart slices, so flows exceed any bound)
+    vol = make_blob_volume(10, 32, 36, seed=2)
+    ks = get_gaussian_kernels((SIGMA,) * 3)
+    cfg = FilterConfig(sigma=(SIGMA,) * 3, boundary=Boundary.WRAP,
+                       flow=FlowConfig(levels=L, winsize=W, max_displacement=None))
+    ours = np.asarray(denoise(vol, cfg))
+    ref = R.of_denoise_wrap(vol, ks, L, W, seeded=True)
+    assert R.psnr(ours, ref) > 55, R.psnr(ours, ref)
+    assert np.abs(ours - ref).mean() < 0.05
+
+
+def test_full_denoise_wrap_windowed_default_close():
+    # Default windowed sampling (max_displacement=8): identical except where
+    # wrap-boundary flows exceed the bound; quality-level agreement required.
     vol = make_blob_volume(10, 32, 36, seed=2)
     ks = get_gaussian_kernels((SIGMA,) * 3)
     cfg = FilterConfig(sigma=(SIGMA,) * 3, boundary=Boundary.WRAP,
                        flow=FlowConfig(levels=L, winsize=W))
     ours = np.asarray(denoise(vol, cfg))
     ref = R.of_denoise_wrap(vol, ks, L, W, seeded=True)
-    assert R.psnr(ours, ref) > 55, R.psnr(ours, ref)
-    assert np.abs(ours - ref).mean() < 0.05
+    assert R.psnr(ours, ref) > 50, R.psnr(ours, ref)
 
 
 def test_full_denoise_meanpad_matches_sequential():
