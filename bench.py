@@ -46,7 +46,7 @@ def make_volume(n, h, w, seed=0):
     return vol
 
 
-def bench_tpu(vol, cfg, slab_size):
+def bench_tpu(vol, cfg):
     import jax
     import jax.numpy as jnp
     from flowdenoising_tpu.core.pipeline import denoise
@@ -100,7 +100,7 @@ def main():
         slab_size=None)
 
     vol = make_volume(size, size, size, seed=0)
-    dt, _ = bench_tpu(vol, cfg, cfg.slab_size)
+    dt, _ = bench_tpu(vol, cfg)
     tpu_rate = vol.size / dt / 1e6
 
     if baseline_z > 0 and mode == "of":
