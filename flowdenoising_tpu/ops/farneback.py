@@ -138,6 +138,14 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     """
     h, w = r0.shape[-3], r0.shape[-2]
     dtype = r0.dtype
+
+    if max_displacement is not None and sampler in ("auto", "pallas"):
+        from flowdenoising_tpu.ops.pallas.sample import pallas_supported
+        from flowdenoising_tpu.ops.pallas.update_matrices import (
+            um_fits_vmem, update_matrices_pallas)
+        if pallas_supported() and um_fits_vmem(h, w, max_displacement):
+            return update_matrices_pallas(r0, r1, flow, max_displacement)
+
     dx = flow[..., 0]
     dy = flow[..., 1]
     gx = jnp.arange(w, dtype=dtype)

@@ -100,6 +100,9 @@ def _sample_kernel(src_ref, u_ref, v_ref, out_ref, *, d: int, h: int,
         iB1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
         useB1 = l1 >= _LANE
 
+        # Static unroll: Mosaic requires 8-aligned dynamic sublane starts, so
+        # the row-shift loop cannot be a fori_loop with pl.ds(m+s, h); the
+        # unroll's stack cost is covered by the raised vmem_limit_bytes.
         acc = jnp.zeros((h, _LANE), jnp.float32)
         for s in range(-d, d + 2):
             wy = jnp.maximum(zero, one - jnp.abs(vb - s))
@@ -149,6 +152,8 @@ def _bilinear_displace_pallas_4d(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarra
         out_specs=pl.BlockSpec((1, 1, h, w_out), lambda bb, cc: (bb, cc, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(src_p, u_p, v_p)
     return out[:, :, :, :w]
