@@ -69,7 +69,7 @@ def fits_vmem(c: int, h: int, w: int, d: int) -> bool:
     return bytes_needed <= _VMEM_BUDGET_BYTES
 
 
-def _sample_kernel(src_ref, u_ref, v_ref, out_ref, *, d: int, h: int,
+def _sample_kernel(src_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int, h: int,
                    w_out: int):
     """src_ref: (1, 1, H+2M, Wsrc) padded plane; u/v: (1, H, Wout); out: (1, 1, H, Wout)."""
     m = d + 1
@@ -100,22 +100,26 @@ def _sample_kernel(src_ref, u_ref, v_ref, out_ref, *, d: int, h: int,
         iB1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
         useB1 = l1 >= _LANE
 
-        # Static unroll: Mosaic requires 8-aligned dynamic sublane starts, so
-        # the row-shift loop cannot be a fori_loop with pl.ds(m+s, h); the
-        # unroll's stack cost is covered by the raised vmem_limit_bytes.
-        acc = jnp.zeros((h, _LANE), jnp.float32)
+        # Static shift unroll (Mosaic requires 8-aligned dynamic sublane
+        # starts), with per-block dead-shift skipping: a shift's hat weight
+        # is zero for every pixel unless vmin-1 < s < vmax+1.
+        vmin = jnp.min(vb)
+        vmax = jnp.max(vb)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
         for s in range(-d, d + 2):
-            wy = jnp.maximum(zero, one - jnp.abs(vb - s))
-            rows_a = src_ref[0, 0, m + s:m + s + h, x0:x0 + _LANE]
-            rows_b = src_ref[0, 0, m + s:m + s + h, x0 + _LANE:x0 + 2 * _LANE]
-            ga0 = jnp.take_along_axis(rows_a, iA0, axis=1, mode="promise_in_bounds")
-            gb0 = jnp.take_along_axis(rows_b, iB0, axis=1, mode="promise_in_bounds")
-            g0 = jnp.where(useB0, gb0, ga0)
-            ga1 = jnp.take_along_axis(rows_a, iA1, axis=1, mode="promise_in_bounds")
-            gb1 = jnp.take_along_axis(rows_b, iB1, axis=1, mode="promise_in_bounds")
-            g1 = jnp.where(useB1, gb1, ga1)
-            acc = acc + wy * (g0 + (g1 - g0) * tub)
-        out_ref[0, 0, :, x0:x0 + _LANE] = acc
+            @pl.when((vmin < s + 1) & (vmax > s - 1))
+            def _(s=s):
+                wy = jnp.maximum(zero, one - jnp.abs(vb - s))
+                rows_a = src_ref[0, 0, m + s:m + s + h, x0:x0 + _LANE]
+                rows_b = src_ref[0, 0, m + s:m + s + h, x0 + _LANE:x0 + 2 * _LANE]
+                ga0 = jnp.take_along_axis(rows_a, iA0, axis=1, mode="promise_in_bounds")
+                gb0 = jnp.take_along_axis(rows_b, iB0, axis=1, mode="promise_in_bounds")
+                g0 = jnp.where(useB0, gb0, ga0)
+                ga1 = jnp.take_along_axis(rows_a, iA1, axis=1, mode="promise_in_bounds")
+                gb1 = jnp.take_along_axis(rows_b, iB1, axis=1, mode="promise_in_bounds")
+                g1 = jnp.where(useB1, gb1, ga1)
+                acc_ref[...] += wy * (g0 + (g1 - g0) * tub)
+        out_ref[0, 0, :, x0:x0 + _LANE] = acc_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("max_displacement", "interpret"))
@@ -152,6 +156,7 @@ def _bilinear_displace_pallas_4d(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarra
         out_specs=pl.BlockSpec((1, 1, h, w_out), lambda bb, cc: (bb, cc, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w_out), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h, _LANE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

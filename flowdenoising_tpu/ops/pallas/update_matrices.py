@@ -50,8 +50,8 @@ def _edge_weight(pos: jnp.ndarray, extent: int) -> jnp.ndarray:
     return wgt
 
 
-def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, *, d: int, h: int,
-               w_true: int):
+def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
+               h: int, w_true: int):
     m = d + 1
     xb = pl.program_id(1)
     x0 = xb * _LANE
@@ -87,30 +87,35 @@ def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, *, d: int, h: int,
     zero = jnp.float32(0.0)
     one = jnp.float32(1.0)
 
-    def sample_channel(c):
-        # Static unroll: Mosaic requires 8-aligned dynamic sublane starts,
-        # so the row-shift loop cannot be a fori_loop with pl.ds(m+s, h).
-        # The stack cost of the unroll is covered by the raised
-        # vmem_limit_bytes in the pallas_call below.
-        acc = jnp.zeros((h, _LANE), jnp.float32)
-        for s in range(-d, d + 2):
+    # Accumulate the 5 sampled channels in scratch; skip row shifts whose hat
+    # weight is zero for every pixel of this block (flows are smooth and
+    # usually sub-pixel, so most of the 2D+2 shifts are dead per block).
+    # The shift loop is a static unroll: Mosaic requires 8-aligned dynamic
+    # sublane starts, so it cannot be a fori_loop with pl.ds(m+s, h); the
+    # unroll's stack cost is covered by the raised vmem_limit_bytes.
+    vmin = jnp.min(v)
+    vmax = jnp.max(v)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for s in range(-d, d + 2):
+        @pl.when((vmin < s + 1) & (vmax > s - 1))
+        def _(s=s):
             wy = jnp.maximum(zero, one - jnp.abs(v - s))
-            rows_a = r1p_ref[0, c, m + s:m + s + h, pl.ds(x0, _LANE)]
-            rows_b = r1p_ref[0, c, m + s:m + s + h, pl.ds(x0 + _LANE, _LANE)]
-            ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1, mode="promise_in_bounds")
-            gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1, mode="promise_in_bounds")
-            g0 = jnp.where(use_b0, gb0, ga0)
-            ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1, mode="promise_in_bounds")
-            gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1, mode="promise_in_bounds")
-            g1 = jnp.where(use_b1, gb1, ga1)
-            acc = acc + wy * (g0 + (g1 - g0) * tu)
-        return acc
+            for c in range(_CH):
+                rows_a = r1p_ref[0, c, m + s:m + s + h, pl.ds(x0, _LANE)]
+                rows_b = r1p_ref[0, c, m + s:m + s + h, pl.ds(x0 + _LANE, _LANE)]
+                ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1, mode="promise_in_bounds")
+                gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1, mode="promise_in_bounds")
+                g0 = jnp.where(use_b0, gb0, ga0)
+                ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1, mode="promise_in_bounds")
+                gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1, mode="promise_in_bounds")
+                g1 = jnp.where(use_b1, gb1, ga1)
+                acc_ref[c] += wy * (g0 + (g1 - g0) * tu)
 
-    s0 = sample_channel(0)
-    s1 = sample_channel(1)
-    s2 = sample_channel(2)
-    s3 = sample_channel(3)
-    s4 = sample_channel(4)
+    s0 = acc_ref[0]
+    s1 = acc_ref[1]
+    s2 = acc_ref[2]
+    s3 = acc_ref[3]
+    s4 = acc_ref[4]
 
     r00 = r0_ref[0, 0]
     r01 = r0_ref[0, 1]
@@ -176,6 +181,7 @@ def _update_matrices_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
         out_specs=pl.BlockSpec((1, _CH, h, _LANE), lambda bb, xb: (bb, 0, 0, xb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, _CH, h, w_out), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_CH, h, _LANE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
