@@ -66,6 +66,27 @@ def _axis_views():
     ]
 
 
+# Rough per-pass HBM working-set model for auto slab sizing: polynomial
+# expansion pyramid (5 ch x ~1.33 levels), constraint matrices (5 ch),
+# flows/accumulators/source copies (~6 ch-equivalents), all float32.
+_BYTES_PER_VOXEL = 4 * (5 * 1.4 + 5 + 6)
+_AUTO_SLAB_BUDGET = 6 * 1024 ** 3
+
+
+def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool) -> int | None:
+    """Pick a slab size so a pass's working set stays within budget."""
+    if not use_flow:
+        return None
+    per_slice = h * w * _BYTES_PER_VOXEL
+    if (n + 2 * ks2) * per_slice <= _AUTO_SLAB_BUDGET:
+        return None
+    slab = int(_AUTO_SLAB_BUDGET / per_slice) - 2 * ks2
+    slab = max(32, slab)
+    # round down to an even divisor-ish size to keep slab count small
+    n_slabs = -(-n // slab)
+    return -(-n // n_slabs)
+
+
 def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
                      boundary: Boundary = Boundary.WRAP,
                      slab_size: int | None = None,
@@ -118,7 +139,11 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
         if i < start_pass:
             continue
         t = jnp.transpose(out, fwd)
-        t = _slabbed_pass(padded_pass, t, taps, cfg.boundary, mean_val, cfg.slab_size)
+        slab = cfg.slab_size
+        if slab is None:
+            slab = _auto_slab(t.shape[0], t.shape[1], t.shape[2],
+                              len(taps) // 2, cfg.use_flow)
+        t = _slabbed_pass(padded_pass, t, taps, cfg.boundary, mean_val, slab)
         out = jnp.transpose(t, inv)
         if on_pass is not None:
             on_pass(i, out)

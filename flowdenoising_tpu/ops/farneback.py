@@ -190,11 +190,17 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     ], axis=-1)
 
 
-def update_flow(m: jnp.ndarray, winsize: int) -> jnp.ndarray:
+def update_flow(m: jnp.ndarray, winsize: int, sampler: str = "auto") -> jnp.ndarray:
     """Box-aggregate M over winsize and solve the per-pixel 2x2 system.
 
     Returns flow (..., H, W, 2) with channel 0 = x displacement.
     """
+    if sampler in ("auto", "pallas"):
+        from flowdenoising_tpu.ops.pallas.sample import pallas_supported
+        from flowdenoising_tpu.ops.pallas.update_flow import (
+            uf_fits_vmem, update_flow_pallas)
+        if pallas_supported() and uf_fits_vmem(m.shape[-3], m.shape[-2], winsize):
+            return update_flow_pallas(m, winsize)
     ms = box_blur_sum(jnp.moveaxis(m, -1, -3), winsize)
     ms = jnp.moveaxis(ms, -3, -1) * (1.0 / float(winsize * winsize))
     g11, g12, g22, h1, h2 = (ms[..., i] for i in range(5))
@@ -220,7 +226,7 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
     d = _level_displacement(cfg, level)
     m = update_matrices(r0, r1, flow, d, cfg.sampler)
     for i in range(cfg.iterations):
-        flow = update_flow(m, cfg.winsize)
+        flow = update_flow(m, cfg.winsize, cfg.sampler)
         if i < cfg.iterations - 1:
             m = update_matrices(r0, r1, flow, d, cfg.sampler)
     return flow
