@@ -73,6 +73,28 @@ _BYTES_PER_VOXEL = 4 * (5 * 1.4 + 5 + 6)
 _AUTO_SLAB_BUDGET = 6 * 1024 ** 3
 
 
+@functools.lru_cache(maxsize=512)
+def _cached_pass(taps_key: tuple, boundary: Boundary, flow_key, slab,
+                 fwd: tuple, inv: tuple):
+    """Jitted single-axis pass, cached so repeated denoise() calls don't
+    retrace.  flow_key is a FlowConfig for the OF pass or None for the
+    plain Gaussian pass; taps enter as a hashable tuple."""
+    taps = np.asarray(taps_key, dtype=np.float64)
+
+    def one_pass(v, mv):
+        if flow_key is None:
+            def padded_pass(window, tp):
+                return gaussian_pass_padded(window, tp)
+        else:
+            def padded_pass(window, tp):
+                return of_pass_padded(window, tp, flow_key)
+        t = jnp.transpose(v, fwd)
+        t = _slabbed_pass(padded_pass, t, taps, boundary, mv, slab)
+        return jnp.transpose(t, inv)
+
+    return jax.jit(one_pass)
+
+
 def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool) -> int | None:
     """Pick a slab size so a pass's working set stays within budget."""
     if not use_flow:
@@ -101,9 +123,11 @@ def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
     for i, ((fwd, inv), taps) in enumerate(zip(_axis_views(), kernels)):
         if i < start_pass:
             continue
-        t = jnp.transpose(out, fwd)
-        t = _slabbed_pass(gaussian_pass_padded, t, taps, boundary, mean_val, slab_size)
-        out = jnp.transpose(t, inv)
+
+        pass_fn = _cached_pass(tuple(np.asarray(taps, np.float64)), boundary,
+                               None, slab_size, fwd, inv)
+        out = pass_fn(out, jnp.asarray(0.0 if mean_val is None else mean_val,
+                                       jnp.float32))
         if on_pass is not None:
             on_pass(i, out)
     return out
@@ -131,20 +155,25 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
     if mean_val is None and cfg.boundary is Boundary.MEAN:
         mean_val = jnp.mean(vol)
 
-    def padded_pass(window, taps):
-        return of_pass_padded(window, taps, cfg.flow)
-
     out = vol
     for i, ((fwd, inv), taps) in enumerate(zip(_axis_views(), kernels)):
         if i < start_pass:
             continue
-        t = jnp.transpose(out, fwd)
         slab = cfg.slab_size
         if slab is None:
-            slab = _auto_slab(t.shape[0], t.shape[1], t.shape[2],
+            n_axis = vol.shape[fwd[0]]
+            plane = [s for j, s in enumerate(vol.shape) if j != fwd[0]]
+            slab = _auto_slab(n_axis, plane[0], plane[1],
                               len(taps) // 2, cfg.use_flow)
-        t = _slabbed_pass(padded_pass, t, taps, cfg.boundary, mean_val, slab)
-        out = jnp.transpose(t, inv)
+
+        # jit per pass: keeps the CLI path compiled (eager dispatch through
+        # remote PJRT transports is prohibitively slow) while still allowing
+        # host callbacks (checkpointing) between passes.  Inside an outer
+        # jit this inlines.
+        pass_fn = _cached_pass(tuple(np.asarray(taps, np.float64)), cfg.boundary,
+                               cfg.flow, slab, fwd, inv)
+        out = pass_fn(out, jnp.asarray(0.0 if mean_val is None else mean_val,
+                                       jnp.float32))
         if on_pass is not None:
             on_pass(i, out)
     return out
