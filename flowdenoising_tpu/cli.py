@@ -131,14 +131,24 @@ def main(argv=None) -> int:
         if resumed is not None:
             start_pass, start_vol, mean_val = resumed
 
-    with prof.phase("filter"):
+    from flowdenoising_tpu.utils.progress import ProgressReporter
+    # One unit per output slice per pass, like the reference feedback
+    # thread's percent = 100*progress/(Z+Y+X) (flowdenoising.py:292-295).
+    progress = ProgressReporter(total_units=int(sum(np.asarray(vol).shape)))
+    progress.advance(sum(np.asarray(vol).shape[i] for i in range(start_pass)))
+
+    with prof.phase("filter"), progress:
+        def on_pass(i, v):
+            progress.advance(np.asarray(vol).shape[i])
+            if ckpt is not None:
+                ckpt.save_pass(i, v)
+
         if n_devices > 1 and ckpt is None:
             from flowdenoising_tpu.parallel.mesh import denoise_sharded
             filtered = denoise_sharded(start_vol, cfg, kernels=kernels,
                                        n_devices=n_devices)
         else:
             from flowdenoising_tpu.core.pipeline import denoise
-            on_pass = (lambda i, v: ckpt.save_pass(i, v)) if ckpt else None
             filtered = denoise(start_vol, cfg, kernels=kernels,
                                start_pass=start_pass, mean_val=mean_val,
                                on_pass=on_pass)

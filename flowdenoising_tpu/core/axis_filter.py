@@ -127,10 +127,13 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
             flow = flow_from_pyramids(
                 r0_levels, r1_levels, flow_cfg,
                 prev_flow if flow_cfg.use_initial_flow else None)
+            # Pallas kernels return float32 regardless of compute dtype;
+            # pin the scan carry types.
+            flow = flow.astype(dtype)
             neighbor = jax.lax.dynamic_slice_in_dim(padded, start, n, axis=0)
             warped = warp_slices(neighbor, flow, flow_cfg.max_displacement,
                                  flow_cfg.sampler)
-            acc = acc + warped * weight
+            acc = acc + (warped * weight).astype(dtype)
             return (flow, acc), None
 
         def run(offsets, weights, acc):

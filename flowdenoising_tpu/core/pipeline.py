@@ -133,6 +133,20 @@ def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
     return out
 
 
+def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None):
+    """Throughput mode: denoise a batch of equally-shaped volumes.
+
+    Dispatches each volume through the same cached per-pass executables
+    without blocking between volumes, so host->HBM transfers of volume i+1
+    overlap device compute of volume i (the reference has no analogue; this
+    is BASELINE.json config 5).  Returns a list of on-device results.
+    """
+    outs = [denoise(v, cfg, kernels=kernels) for v in vols]
+    for o in outs:
+        o.block_until_ready()
+    return outs
+
+
 def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
             kernels=None, start_pass: int = 0, mean_val=None,
             on_pass=None) -> jnp.ndarray:

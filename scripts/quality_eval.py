@@ -23,7 +23,7 @@ from flowdenoising_tpu.kernels import get_gaussian_kernels
 from flowdenoising_tpu.utils.metrics import psnr, ssim
 
 
-def make_clean_noisy(n, h, w, seed=0, noise=12.0):
+def make_clean_noisy(n, h, w, seed=0, noise=30.0):
     import importlib.util
     spec = importlib.util.spec_from_file_location("mtv", "scripts/make_test_volume.py")
     mtv = importlib.util.module_from_spec(spec)
@@ -39,10 +39,11 @@ def main():
     p.add_argument("-n", type=int, default=32)
     p.add_argument("--hw", type=int, default=128)
     p.add_argument("--sigma", type=float, default=2.0)
+    p.add_argument("--noise", type=float, default=30.0)
     p.add_argument("--skip-reference", action="store_true")
     args = p.parse_args()
 
-    clean, noisy = make_clean_noisy(args.n, args.hw, args.hw)
+    clean, noisy = make_clean_noisy(args.n, args.hw, args.hw, noise=args.noise)
     sig = (args.sigma,) * 3
     kernels = get_gaussian_kernels(sig)
     L, W = 3, 5
@@ -84,7 +85,7 @@ def main():
     lines = [
         "# Quality parity (synthetic drifting-blob volume + Gaussian noise)",
         "",
-        f"Volume {args.n}x{args.hw}x{args.hw}, sigma={args.sigma}, levels={L}, "
+        f"Volume {args.n}x{args.hw}x{args.hw}, noise sigma={args.noise}, filter sigma={args.sigma}, levels={L}, "
         f"winsize={W}, wrap boundary, seeded flow chaining.",
         "",
         f"Noisy input: PSNR {psnr(clean, noisy):.2f} dB, SSIM {ssim(clean, noisy):.4f} vs clean.",
