@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
+from flowdenoising_tpu.config import Boundary, FlowConfig
 from flowdenoising_tpu.ops.farneback import (
     polyexp_pyramid, flow_from_pyramids, matmul_precision)
 from flowdenoising_tpu.ops.warp import warp_slices

@@ -74,23 +74,24 @@ _AUTO_SLAB_BUDGET = 6 * 1024 ** 3
 
 
 @functools.lru_cache(maxsize=512)
-def _cached_pass(taps_key: tuple, boundary: Boundary, flow_key, slab,
-                 fwd: tuple, inv: tuple):
-    """Jitted single-axis pass, cached so repeated denoise() calls don't
-    retrace.  flow_key is a FlowConfig for the OF pass or None for the
-    plain Gaussian pass; taps enter as a hashable tuple."""
+def _cached_pass(taps_key: tuple, boundary: Boundary, flow_key, slab):
+    """Jitted axis-0 pass, cached so repeated denoise() calls don't retrace.
+
+    The axis transposes live OUTSIDE this function so that all three passes
+    of a cubic volume share one compiled executable (the per-pass programs
+    are the dominant compile cost).  flow_key is a FlowConfig for the OF
+    pass or None for the plain Gaussian pass; taps enter as a hashable
+    tuple."""
     taps = np.asarray(taps_key, dtype=np.float64)
 
-    def one_pass(v, mv):
+    def one_pass(t, mv):
         if flow_key is None:
             def padded_pass(window, tp):
                 return gaussian_pass_padded(window, tp)
         else:
             def padded_pass(window, tp):
                 return of_pass_padded(window, tp, flow_key)
-        t = jnp.transpose(v, fwd)
-        t = _slabbed_pass(padded_pass, t, taps, boundary, mv, slab)
-        return jnp.transpose(t, inv)
+        return _slabbed_pass(padded_pass, t, taps, boundary, mv, slab)
 
     return jax.jit(one_pass)
 
@@ -125,9 +126,11 @@ def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
             continue
 
         pass_fn = _cached_pass(tuple(np.asarray(taps, np.float64)), boundary,
-                               None, slab_size, fwd, inv)
-        out = pass_fn(out, jnp.asarray(0.0 if mean_val is None else mean_val,
-                                       jnp.float32))
+                               None, slab_size)
+        t = jnp.transpose(out, fwd)
+        t = pass_fn(t, jnp.asarray(0.0 if mean_val is None else mean_val,
+                                   jnp.float32))
+        out = jnp.transpose(t, inv)
         if on_pass is not None:
             on_pass(i, out)
     return out
@@ -185,9 +188,11 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
         # host callbacks (checkpointing) between passes.  Inside an outer
         # jit this inlines.
         pass_fn = _cached_pass(tuple(np.asarray(taps, np.float64)), cfg.boundary,
-                               cfg.flow, slab, fwd, inv)
-        out = pass_fn(out, jnp.asarray(0.0 if mean_val is None else mean_val,
-                                       jnp.float32))
+                               cfg.flow, slab)
+        t = jnp.transpose(out, fwd)
+        t = pass_fn(t, jnp.asarray(0.0 if mean_val is None else mean_val,
+                                   jnp.float32))
+        out = jnp.transpose(t, inv)
         if on_pass is not None:
             on_pass(i, out)
     return out

@@ -44,7 +44,7 @@ import numpy as np
 
 from flowdenoising_tpu.config import FlowConfig
 from flowdenoising_tpu.ops.blur import (
-    gaussian_blur, box_blur_sum, smooth_kernel_for_level, _sep_correlate, corr1d)
+    box_blur_sum, smooth_kernel_for_level, _sep_correlate, corr1d)
 from flowdenoising_tpu.ops.resize import resize_linear, resize_area, pyramid_sizes
 from flowdenoising_tpu.ops.warp import (
     bilinear_sample, bilinear_displace_windowed, displace_sample)
