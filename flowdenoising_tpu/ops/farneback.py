@@ -142,8 +142,8 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     if max_displacement is not None and sampler in ("auto", "pallas"):
         from flowdenoising_tpu.ops.pallas.sample import pallas_supported
         from flowdenoising_tpu.ops.pallas.update_matrices import (
-            um_fits_vmem, update_matrices_pallas)
-        if pallas_supported() and um_fits_vmem(h, w, max_displacement):
+            update_matrices_pallas)
+        if pallas_supported():
             return update_matrices_pallas(r0, r1, flow, max_displacement)
 
     dx = flow[..., 0]
@@ -197,9 +197,8 @@ def update_flow(m: jnp.ndarray, winsize: int, sampler: str = "auto") -> jnp.ndar
     """
     if sampler in ("auto", "pallas"):
         from flowdenoising_tpu.ops.pallas.sample import pallas_supported
-        from flowdenoising_tpu.ops.pallas.update_flow import (
-            uf_fits_vmem, update_flow_pallas)
-        if pallas_supported() and uf_fits_vmem(m.shape[-3], m.shape[-2], winsize):
+        from flowdenoising_tpu.ops.pallas.update_flow import update_flow_pallas
+        if pallas_supported():
             return update_flow_pallas(m, winsize)
     ms = box_blur_sum(jnp.moveaxis(m, -1, -3), winsize)
     ms = jnp.moveaxis(ms, -3, -1) * (1.0 / float(winsize * winsize))

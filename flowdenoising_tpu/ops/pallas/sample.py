@@ -122,21 +122,34 @@ def _sample_kernel(src_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int, h: int,
         out_ref[0, 0, :, x0:x0 + _LANE] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("max_displacement", "interpret"))
-def _bilinear_displace_pallas_4d(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
-                                 max_displacement: int, interpret: bool = False):
-    """src: (B, C, H, W); u, v: (B, H, W) -> (B, C, H, W)."""
-    b, c, h, w = src.shape
-    d = int(max_displacement)
-    m = d + 1
+def plane_row_tiles(h: int, fits) -> list[tuple[int, int]]:
+    """Split rows [0, h) into the fewest equal-ish tiles such that
+    ``fits(tile_height)`` holds.  Used to keep per-program VMEM bounded for
+    large planes; tiles get exact overlapping context rows from the padded
+    source, so tiling never changes results."""
+    k = 1
+    while not fits(-(-h // k)) and k < h:
+        k += 1
+    t = -(-h // k)
+    return [(a, min(t, h - a)) for a in range(0, h, t)]
 
+
+def _sample_call(src_rows: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                 d: int, interpret: bool):
+    """Kernel invocation on a row tile.
+
+    src_rows: (B, C, TH + 2M, W) -- output rows plus M true context rows per
+    side (already materialized by the caller); u, v: (B, TH, W).
+    """
+    b, c, hp, w = src_rows.shape
+    m = d + 1
+    h = hp - 2 * m
     w_out = _round_up(w, _LANE)
-    # Source padding: m columns of replicate border on the left, then enough
-    # on the right that every x-block's window B (cols [x0+128, x0+256)) is
-    # in bounds: need width >= w_out + 128.
+    # x padding: m replicate columns on the left, then enough on the right
+    # that every x-block's window B (cols [x0+128, x0+256)) is in bounds.
     w_src = w_out + _LANE
-    src_p = jnp.pad(src.astype(jnp.float32),
-                    ((0, 0), (0, 0), (m, m), (m, w_src - w - m)), mode="edge")
+    src_p = jnp.pad(src_rows.astype(jnp.float32),
+                    ((0, 0), (0, 0), (0, 0), (m, w_src - w - m)), mode="edge")
     pad_uv = ((0, 0), (0, 0), (0, w_out - w))
     u_p = jnp.pad(u.astype(jnp.float32), pad_uv)
     v_p = jnp.pad(v.astype(jnp.float32), pad_uv)
@@ -162,6 +175,31 @@ def _bilinear_displace_pallas_4d(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarra
         interpret=interpret,
     )(src_p, u_p, v_p)
     return out[:, :, :, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("max_displacement", "interpret"))
+def _bilinear_displace_pallas_4d(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                                 max_displacement: int, interpret: bool = False):
+    """src: (B, C, H, W); u, v: (B, H, W) -> (B, C, H, W).
+
+    Planes too large for one VMEM-resident program are processed in row
+    tiles; each tile's kernel call receives the true overlapping context
+    rows (sliced from the y-padded array), so tiling never changes results.
+    """
+    b, c, h, w = src.shape
+    d = int(max_displacement)
+    m = d + 1
+    src_p = jnp.pad(src, ((0, 0), (0, 0), (m, m), (0, 0)), mode="edge")
+
+    tiles = plane_row_tiles(h, lambda th: fits_vmem(c, th, w, d))
+    outs = []
+    for a, th in tiles:
+        sub = jax.lax.dynamic_slice_in_dim(src_p, a, th + 2 * m, axis=2)
+        outs.append(_sample_call(sub, u[:, a:a + th], v[:, a:a + th],
+                                 d, interpret))
+    if len(outs) == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=2)
 
 
 def bilinear_displace_pallas(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,

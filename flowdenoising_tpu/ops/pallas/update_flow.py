@@ -52,17 +52,16 @@ def _uf_kernel(mp_ref, out_ref, *, winsize: int, h: int, w: int):
     out_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
 
 
-@functools.partial(jax.jit, static_argnames=("winsize", "interpret"))
-def _update_flow_pallas_cf(m: jnp.ndarray, winsize: int, interpret: bool = False):
-    """m: (B, 5, H, W) -> flow (B, 2, H, W)."""
-    b, c, h, w = m.shape
-    assert c == _CH
+def _uf_call(m_rows: jnp.ndarray, winsize: int, w: int, interpret: bool):
+    """Kernel invocation on a row tile; m_rows carries r context rows/side."""
+    b, c, hp, _ = m_rows.shape
     r = winsize // 2
+    h = hp - 2 * r
     w_out = _round_up(w, _LANE)
     # horizontal window slices reach w_out + 2r columns
     wp = _round_up(w_out + 2 * r, _LANE)
-    m_p = jnp.pad(m.astype(jnp.float32),
-                  ((0, 0), (0, 0), (r, r), (r, wp - w - r)), mode="edge")
+    m_p = jnp.pad(m_rows.astype(jnp.float32),
+                  ((0, 0), (0, 0), (0, 0), (r, wp - w - r)), mode="edge")
 
     out = pl.pallas_call(
         functools.partial(_uf_kernel, winsize=winsize, h=h, w=w_out),
@@ -79,6 +78,25 @@ def _update_flow_pallas_cf(m: jnp.ndarray, winsize: int, interpret: bool = False
         interpret=interpret,
     )(m_p)
     return out[:, :, :, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "interpret"))
+def _update_flow_pallas_cf(m: jnp.ndarray, winsize: int, interpret: bool = False):
+    """m: (B, 5, H, W) -> flow (B, 2, H, W).  Row-tiled for large planes."""
+    from flowdenoising_tpu.ops.pallas.sample import plane_row_tiles
+
+    b, c, h, w = m.shape
+    assert c == _CH
+    r = winsize // 2
+    m_rows_p = jnp.pad(m, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    tiles = plane_row_tiles(h, lambda th: uf_fits_vmem(th, w, winsize))
+    outs = []
+    for a, th in tiles:
+        m_rows = jax.lax.dynamic_slice_in_dim(m_rows_p, a, th + 2 * r, axis=2)
+        outs.append(_uf_call(m_rows, winsize, w, interpret))
+    if len(outs) == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=2)
 
 
 def update_flow_pallas(m: jnp.ndarray, winsize: int,

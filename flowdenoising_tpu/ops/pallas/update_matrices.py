@@ -51,7 +51,7 @@ def _edge_weight(pos: jnp.ndarray, extent: int) -> jnp.ndarray:
 
 
 def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
-               h: int, w_true: int):
+               h: int, w_true: int, y0: int, h_true: int):
     m = d + 1
     xb = pl.program_id(1)
     x0 = xb * _LANE
@@ -65,14 +65,15 @@ def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
     iui = iu.astype(jnp.int32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (h, _LANE), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, _LANE), 0)
+    # Global row index: y0 is the tile's first output row within the plane.
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, _LANE), 0) + y0
     x_abs = col + x0
 
     # In-bounds test on the *unclamped* displaced coordinates (OpenCV
     # semantics: cvFloor(x+dx) in [0, W-2], cvFloor(y+dy) in [0, H-2]).
     fx1 = jnp.floor(x_abs.astype(jnp.float32) + dx)
     fy1 = jnp.floor(row.astype(jnp.float32) + dy)
-    inb = ((fx1 >= 0) & (fx1 <= w_true - 2) & (fy1 >= 0) & (fy1 <= h - 2))
+    inb = ((fx1 >= 0) & (fx1 <= w_true - 2) & (fy1 >= 0) & (fy1 <= h_true - 2))
 
     # Gather indices (two aligned 128-wide windows; see sample.py).
     l_idx = col + m + iui
@@ -131,7 +132,7 @@ def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
     r2 = (r00 - jnp.where(inb, s0, zero)) * half + r4 * dy + r6 * dx
     r3 = (r01 - jnp.where(inb, s1, zero)) * half + r6 * dy + r5 * dx
 
-    scale = _edge_weight(x_abs, w_true) * _edge_weight(row, h)
+    scale = _edge_weight(x_abs, w_true) * _edge_weight(row, h_true)
     r2 = r2 * scale
     r3 = r3 * scale
     r4 = r4 * scale
@@ -145,28 +146,28 @@ def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
     out_ref[0, 4] = r6 * r2 + r5 * r3
 
 
-@functools.partial(jax.jit, static_argnames=("max_displacement", "interpret"))
-def _update_matrices_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
-                               u: jnp.ndarray, v: jnp.ndarray,
-                               max_displacement: int, interpret: bool = False):
-    """Channel-first fused UM.  r0, r1: (B, 5, H, W); u, v: (B, H, W)."""
-    b, c, h, w = r0.shape
-    assert c == _CH
-    d = int(max_displacement)
-    m = d + 1
+def _um_call(r0_t, r1_rows, u_t, v_t, d: int, y0: int, h_true: int,
+             w: int, interpret: bool):
+    """Kernel invocation on a row tile.
 
+    r0_t/u_t/v_t cover the tile's output rows; r1_rows additionally carries
+    M true context rows per side.  y0/h_true anchor border weights and the
+    in-bounds test to plane-global coordinates.
+    """
+    b, c, h, _ = r0_t.shape
+    m = d + 1
     w_out = _round_up(w, _LANE)
     w_src = w_out + _LANE
-    r1p = jnp.pad(r1.astype(jnp.float32),
-                  ((0, 0), (0, 0), (m, m), (m, w_src - w - m)), mode="edge")
+    r1p = jnp.pad(r1_rows.astype(jnp.float32),
+                  ((0, 0), (0, 0), (0, 0), (m, w_src - w - m)), mode="edge")
     pad_xy = ((0, 0), (0, 0), (0, w_out - w))
-    u_p = jnp.pad(u.astype(jnp.float32), pad_xy)
-    v_p = jnp.pad(v.astype(jnp.float32), pad_xy)
-    r0_p = jnp.pad(r0.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, w_out - w)))
+    u_p = jnp.pad(u_t.astype(jnp.float32), pad_xy)
+    v_p = jnp.pad(v_t.astype(jnp.float32), pad_xy)
+    r0_p = jnp.pad(r0_t.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, w_out - w)))
 
     grid = (b, w_out // _LANE)
     out = pl.pallas_call(
-        functools.partial(_um_kernel, d=d, h=h, w_true=w),
+        functools.partial(_um_kernel, d=d, h=h, w_true=w, y0=y0, h_true=h_true),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _CH, h, _LANE), lambda bb, xb: (bb, 0, 0, xb),
@@ -187,6 +188,35 @@ def _update_matrices_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
         interpret=interpret,
     )(r0_p, r1p, u_p, v_p)
     return out[:, :, :, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("max_displacement", "interpret"))
+def _update_matrices_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
+                               u: jnp.ndarray, v: jnp.ndarray,
+                               max_displacement: int, interpret: bool = False):
+    """Channel-first fused UM.  r0, r1: (B, 5, H, W); u, v: (B, H, W).
+
+    Large planes are processed in row tiles with exact overlapping context
+    (see sample.plane_row_tiles); tiling never changes results.
+    """
+    from flowdenoising_tpu.ops.pallas.sample import plane_row_tiles
+
+    b, c, h, w = r0.shape
+    assert c == _CH
+    d = int(max_displacement)
+    m = d + 1
+
+    r1_rows_p = jnp.pad(r1, ((0, 0), (0, 0), (m, m), (0, 0)), mode="edge")
+    tiles = plane_row_tiles(h, lambda th: um_fits_vmem(th, w, d))
+    outs = []
+    for a, th in tiles:
+        r1_rows = jax.lax.dynamic_slice_in_dim(r1_rows_p, a, th + 2 * m, axis=2)
+        outs.append(_um_call(r0[:, :, a:a + th], r1_rows,
+                             u[:, a:a + th], v[:, a:a + th],
+                             d, a, h, w, interpret))
+    if len(outs) == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=2)
 
 
 def update_matrices_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,

@@ -113,11 +113,8 @@ def displace_sample(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             v = v[..., None, :, :]
         return bilinear_sample(src, u + gx, v + gy)
     if sampler == "auto":
-        from flowdenoising_tpu.ops.pallas.sample import pallas_supported, fits_vmem
-        c = src.shape[-3] if has_channels else 1
-        ok = pallas_supported() and fits_vmem(c, src.shape[-2], src.shape[-1],
-                                              max_displacement)
-        sampler = "pallas" if ok else "windowed"
+        from flowdenoising_tpu.ops.pallas.sample import pallas_supported
+        sampler = "pallas" if pallas_supported() else "windowed"
     if sampler == "pallas":
         from flowdenoising_tpu.ops.pallas.sample import bilinear_displace_pallas
         return bilinear_displace_pallas(src, u, v, max_displacement)
