@@ -37,24 +37,46 @@ from flowdenoising_tpu.core.axis_filter import (
 from flowdenoising_tpu.kernels import get_gaussian_kernels
 
 
-def _slabbed_pass(padded_pass_fn, vol, taps, boundary, mean_val, slab_size):
-    """Run a pre-padded pass over axis-0 slabs with halo; concatenate results.
+def _slab_window(vol, s, b, ks2, boundary, mean_val):
+    """Materialize the padded window [s - ks2, s + b + ks2) of axis 0 with
+    boundary semantics, without building the fully padded stack (a full
+    extra volume copy that matters at HBM-limit sizes)."""
+    n = vol.shape[0]
+    idx = np.arange(s - ks2, s + b + ks2)
+    if idx[0] >= 0 and idx[-1] < n:
+        # interior slab: plain contiguous slice
+        return jax.lax.dynamic_slice_in_dim(vol, int(idx[0]), len(idx), axis=0)
+    if boundary is Boundary.WRAP:
+        window = jnp.take(vol, jnp.asarray(idx % n), axis=0)
+    elif boundary is Boundary.REPLICATE:
+        window = jnp.take(vol, jnp.asarray(np.clip(idx, 0, n - 1)), axis=0)
+    else:  # MEAN: clamped gather, out-of-range slices overwritten with mean
+        window = jnp.take(vol, jnp.asarray(np.clip(idx, 0, n - 1)), axis=0)
+        oob = (idx < 0) | (idx >= n)
+        if oob.any():
+            fill = jnp.asarray(0.0 if mean_val is None else mean_val, vol.dtype)
+            window = jnp.where(jnp.asarray(oob)[:, None, None], fill, window)
+    return window
 
-    Each slab's padded window is an exact slice of the fully padded stack, so
-    slab results match the whole-axis pass exactly.
+
+def _slabbed_pass(padded_pass_fn, vol, taps, boundary, mean_val, slab_size):
+    """Run a pre-padded pass over axis-0 slabs with halo.
+
+    Each slab's padded window carries exact boundary/halo context, so slab
+    results match the whole-axis pass exactly.  Results accumulate in-place
+    (dynamic_update_slice) to avoid a concat spike at HBM-limit sizes.
     """
     n = vol.shape[0]
     ks2 = len(taps) // 2
-    padded = pad_stack(vol, ks2, boundary, mean_val)
     if slab_size is None or slab_size >= n:
-        return padded_pass_fn(padded, taps)
-    outs = []
+        return padded_pass_fn(pad_stack(vol, ks2, boundary, mean_val), taps)
+    out = jnp.zeros(vol.shape, jnp.float32)
     for s in range(0, n, slab_size):
         b = min(slab_size, n - s)
-        # Slab plus halo is exactly the padded window [s, s + b + 2*ks2).
-        window = jax.lax.dynamic_slice_in_dim(padded, s, b + 2 * ks2, axis=0)
-        outs.append(padded_pass_fn(window, taps))
-    return jnp.concatenate(outs, axis=0)
+        window = _slab_window(vol, s, b, ks2, boundary, mean_val)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, padded_pass_fn(window, taps), s, axis=0)
+    return out
 
 
 def _axis_views():
@@ -70,7 +92,9 @@ def _axis_views():
 # expansion pyramid (5 ch x ~1.33 levels), constraint matrices (5 ch),
 # flows/accumulators/source copies (~6 ch-equivalents), all float32.
 _BYTES_PER_VOXEL = 4 * (5 * 1.4 + 5 + 6)
-_AUTO_SLAB_BUDGET = 6 * 1024 ** 3
+# Leaves headroom for the volume itself, its transposed view and the output
+# ping-pong (3 full copies) within ~16G HBM.
+_AUTO_SLAB_BUDGET = 4 * 1024 ** 3
 
 
 @functools.lru_cache(maxsize=512)
@@ -172,15 +196,27 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
     if mean_val is None and cfg.boundary is Boundary.MEAN:
         mean_val = jnp.mean(vol)
 
+    # Composed transposes: the volume stays in each pass's layout and moves
+    # directly to the next pass's layout (one materialized permutation per
+    # boundary instead of inverse+forward -- a full volume copy saved, which
+    # matters at HBM-limit sizes).  `layout` tracks canonical axes by
+    # position; pass i wants canonical axis i first.
+    targets = [(0, 1, 2), (1, 0, 2), (2, 0, 1)]
     out = vol
-    for i, ((fwd, inv), taps) in enumerate(zip(_axis_views(), kernels)):
+    layout = (0, 1, 2)
+    for i, taps in enumerate(kernels):
         if i < start_pass:
             continue
+        target = targets[i]
+        perm = tuple(layout.index(ax) for ax in target)
+        if perm != (0, 1, 2):
+            out = jnp.transpose(out, perm)
+        layout = target
+
         slab = cfg.slab_size
         if slab is None:
-            n_axis = vol.shape[fwd[0]]
-            plane = [s for j, s in enumerate(vol.shape) if j != fwd[0]]
-            slab = _auto_slab(n_axis, plane[0], plane[1],
+            plane = [vol.shape[ax] for ax in target[1:]]
+            slab = _auto_slab(vol.shape[target[0]], plane[0], plane[1],
                               len(taps) // 2, cfg.use_flow)
 
         # jit per pass: keeps the CLI path compiled (eager dispatch through
@@ -189,10 +225,13 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
         # jit this inlines.
         pass_fn = _cached_pass(tuple(np.asarray(taps, np.float64)), cfg.boundary,
                                cfg.flow, slab)
-        t = jnp.transpose(out, fwd)
-        t = pass_fn(t, jnp.asarray(0.0 if mean_val is None else mean_val,
-                                   jnp.float32))
-        out = jnp.transpose(t, inv)
+        out = pass_fn(out, jnp.asarray(0.0 if mean_val is None else mean_val,
+                                       jnp.float32))
         if on_pass is not None:
-            on_pass(i, out)
+            inv = tuple(target.index(ax) for ax in (0, 1, 2))
+            on_pass(i, jnp.transpose(out, inv))
+    # restore canonical (Z, Y, X)
+    inv = tuple(layout.index(ax) for ax in (0, 1, 2))
+    if inv != (0, 1, 2):
+        out = jnp.transpose(out, inv)
     return out
