@@ -37,46 +37,37 @@ from flowdenoising_tpu.core.axis_filter import (
 from flowdenoising_tpu.kernels import get_gaussian_kernels
 
 
-def _slab_window(vol, s, b, ks2, boundary, mean_val):
-    """Materialize the padded window [s - ks2, s + b + ks2) of axis 0 with
-    boundary semantics, without building the fully padded stack (a full
-    extra volume copy that matters at HBM-limit sizes)."""
-    n = vol.shape[0]
-    idx = np.arange(s - ks2, s + b + ks2)
-    if idx[0] >= 0 and idx[-1] < n:
-        # interior slab: plain contiguous slice
-        return jax.lax.dynamic_slice_in_dim(vol, int(idx[0]), len(idx), axis=0)
-    if boundary is Boundary.WRAP:
-        window = jnp.take(vol, jnp.asarray(idx % n), axis=0)
-    elif boundary is Boundary.REPLICATE:
-        window = jnp.take(vol, jnp.asarray(np.clip(idx, 0, n - 1)), axis=0)
-    else:  # MEAN: clamped gather, out-of-range slices overwritten with mean
-        window = jnp.take(vol, jnp.asarray(np.clip(idx, 0, n - 1)), axis=0)
-        oob = (idx < 0) | (idx >= n)
-        if oob.any():
-            fill = jnp.asarray(0.0 if mean_val is None else mean_val, vol.dtype)
-            window = jnp.where(jnp.asarray(oob)[:, None, None], fill, window)
-    return window
-
-
 def _slabbed_pass(padded_pass_fn, vol, taps, boundary, mean_val, slab_size):
     """Run a pre-padded pass over axis-0 slabs with halo.
 
     Each slab's padded window carries exact boundary/halo context, so slab
-    results match the whole-axis pass exactly.  Results accumulate in-place
-    (dynamic_update_slice) to avoid a concat spike at HBM-limit sizes.
+    results match the whole-axis pass exactly.  The slab loop is a lax.scan:
+    slabs are strictly sequential, so XLA keeps ONE slab's working set live
+    (a Python loop lets the scheduler overlap independent slabs and balloon
+    HBM at limit sizes) and compiles one slab body.
     """
     n = vol.shape[0]
     ks2 = len(taps) // 2
     if slab_size is None or slab_size >= n:
         return padded_pass_fn(pad_stack(vol, ks2, boundary, mean_val), taps)
-    out = jnp.zeros(vol.shape, jnp.float32)
-    for s in range(0, n, slab_size):
-        b = min(slab_size, n - s)
-        window = _slab_window(vol, s, b, ks2, boundary, mean_val)
-        out = jax.lax.dynamic_update_slice_in_dim(
-            out, padded_pass_fn(window, taps), s, axis=0)
-    return out
+
+    n_slabs = -(-n // slab_size)
+    slab = -(-n // n_slabs)
+    padded = pad_stack(vol, ks2, boundary, mean_val)
+    extra = n_slabs * slab - n
+    if extra:
+        tail = jnp.broadcast_to(padded[-1:], (extra,) + padded.shape[1:])
+        padded = jnp.concatenate([padded, tail], axis=0)
+
+    def body(out, s):
+        window = jax.lax.dynamic_slice_in_dim(padded, s, slab + 2 * ks2, axis=0)
+        y = padded_pass_fn(window, taps)
+        return jax.lax.dynamic_update_slice_in_dim(out, y, s, axis=0), None
+
+    out0 = jnp.zeros((n_slabs * slab,) + vol.shape[1:], jnp.float32)
+    starts = jnp.arange(n_slabs, dtype=jnp.int32) * slab
+    out, _ = jax.lax.scan(body, out0, starts)
+    return out[:n]
 
 
 def _axis_views():
@@ -92,9 +83,11 @@ def _axis_views():
 # expansion pyramid (5 ch x ~1.33 levels), constraint matrices (5 ch),
 # flows/accumulators/source copies (~6 ch-equivalents), all float32.
 _BYTES_PER_VOXEL = 4 * (5 * 1.4 + 5 + 6)
-# Leaves headroom for the volume itself, its transposed view and the output
-# ping-pong (3 full copies) within ~16G HBM.
-_AUTO_SLAB_BUDGET = 4 * 1024 ** 3
+# Leaves headroom for the volume itself, its transposed view, the padded
+# stack, the output ping-pong, the kernels' internal pad copies and XLA
+# overlay scratch within ~16G HBM (validated against the 1024x1024x512
+# headline volume).
+_AUTO_SLAB_BUDGET = 3 * 1024 ** 3
 
 
 @functools.lru_cache(maxsize=512)
