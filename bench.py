@@ -87,6 +87,8 @@ def bench_cpu_reference(z, h, w, sigma, levels, winsize):
 
 
 def main():
+    from flowdenoising_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     size = int(os.environ.get("BENCH_SIZE", "256"))
     mode = os.environ.get("BENCH_MODE", "of")
     baseline_z = int(os.environ.get("BENCH_BASELINE_Z", "4"))

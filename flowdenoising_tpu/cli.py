@@ -84,6 +84,8 @@ def main(argv=None) -> int:
         print("fingerprint =", file_fingerprint(__file__))
 
     setup_logging(args.verbosity if isinstance(args.verbosity, int) else 0)
+    from flowdenoising_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     prof = PhaseProfiler()
 
     sigma = tuple(float(s) for s in args.sigma)
