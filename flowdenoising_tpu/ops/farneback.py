@@ -223,6 +223,16 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
     """Fixed-point iterations at one pyramid level (parallel-equivalent form
     of OpenCV's stripe-interleaved sweep; see module docstring)."""
     d = _level_displacement(cfg, level)
+    if d is not None and cfg.sampler in ("auto", "pallas"):
+        from flowdenoising_tpu.ops.pallas.sample import pallas_supported
+        if pallas_supported():
+            # Fused UM+UF iteration: M never leaves VMEM
+            # (ops/pallas/umuf.py); identical math to the split path below.
+            from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas
+            for _ in range(cfg.iterations):
+                flow = umuf_pallas(r0, r1, flow.astype(r0.dtype), d,
+                                   cfg.winsize)
+            return flow
     m = update_matrices(r0, r1, flow, d, cfg.sampler)
     for i in range(cfg.iterations):
         flow = update_flow(m, cfg.winsize, cfg.sampler)

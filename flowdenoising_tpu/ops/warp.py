@@ -6,9 +6,11 @@ flow -- ``out[y, x] = ref(x + flow[y,x,0], y + flow[y,x,1])`` -- bilinear
 interpolation, border replicate (coordinates clamped to the valid range,
 OFCA_EXTENSION_MODE == cv2.BORDER_REPLICATE).
 
-Divergence (documented): cv2.remap quantizes fractional coordinates to 1/32
-(its INTER_TAB_SIZE fixed-point tables); we interpolate at full float32
-precision.  Tests bound the difference accordingly.
+Parity: with float32 maps (the reference's call shape) cv2.remap interpolates
+at full float precision -- no 1/32 INTER_TAB_SIZE quantization on this path
+(measured <=5e-5 abs diff vs cv2 5.0 on 100-range data across flow scales;
+tests/test_warp.py).  Fixed-point tables only apply to pre-converted integer
+maps, which the reference never uses.
 """
 
 from __future__ import annotations

@@ -29,7 +29,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flowdenoising_tpu.config import Boundary, FilterConfig
-from flowdenoising_tpu.core.axis_filter import gaussian_pass_padded, of_pass_padded
+from flowdenoising_tpu.core.axis_filter import (
+    gaussian_pass_padded, of_pass_padded, pad_stack)
 from flowdenoising_tpu.core.pipeline import _axis_views
 from flowdenoising_tpu.kernels import get_gaussian_kernels
 
@@ -45,14 +46,33 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def usable_device_count(shape: tuple[int, int, int], max_halo: int,
                         n_devices: int) -> int:
-    """Largest device count <= n_devices that evenly divides every axis and
-    keeps each local shard at least one halo wide."""
+    """Largest device count <= n_devices whose per-device shard stays at
+    least one halo wide on every axis.
+
+    Non-divisible axes are supported via boundary-materializing pad + crop
+    (see ``_pass_extent``), so divisibility is no longer required -- only
+    that the padded per-device extent can cover the ring halo.
+    """
     d = n_devices
     while d > 1:
-        if all(s % d == 0 and s // d >= max_halo for s in shape):
+        if all(-(-(s + 2 * max_halo) // d) >= max_halo for s in shape):
             return d
         d -= 1
     return 1
+
+
+def _pass_extent(n: int, ks2: int, n_dev: int) -> int:
+    """Sharded extent for a pass over ``n`` output slices.
+
+    Divisible axes shard directly.  Otherwise the pass runs on a
+    boundary-extended stack: ks2 true context slices materialized per side
+    (so valid outputs never read across the ring's global wrap seam, whose
+    content would be wrong for non-divisible extents), aligned up to a
+    multiple of the device count; the extra outputs are cropped.
+    """
+    if n % n_dev == 0:
+        return n
+    return n_dev * (-(-(n + 2 * ks2) // n_dev))
 
 
 def halo_exchange(local: jnp.ndarray, halo: int, boundary: Boundary,
@@ -102,9 +122,10 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
                     jit: bool = True):
     """Slice-sharded Z->Y->X denoise over a 1-D device mesh.
 
-    Falls back to fewer devices when the volume axes are not divisible by
-    the requested count (documented limitation of round 1; remainder-wave
-    padding lands with uneven-shard support).
+    Axes need not divide the device count: non-divisible passes materialize
+    ks2 true boundary-context slices per side, align-pad to the mesh, and
+    crop the extra outputs (``_pass_extent``), so any volume shape runs on
+    the full mesh as long as each padded shard covers one halo.
     """
     kernels = get_gaussian_kernels(cfg.sigma) if kernels is None else kernels
     vol = jnp.asarray(vol, dtype=jnp.float32)
@@ -113,6 +134,7 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
         want = n_devices if n_devices is not None else len(jax.devices())
         usable = usable_device_count(vol.shape, max_halo, want)
         mesh = make_mesh(usable)
+    n_dev = mesh.devices.size
 
     if cfg.use_flow:
         def padded_pass(window, taps):
@@ -124,17 +146,43 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
         mean_val = jnp.mean(v) if cfg.boundary is Boundary.MEAN else None
         out = v
         for (fwd_t, inv_t), taps in zip(_axis_views(), kernels):
+            ks2 = len(taps) // 2
             t = jnp.transpose(out, fwd_t)
+            n = t.shape[0]
+            ext = _pass_extent(n, ks2, n_dev)
+            if ext != n:
+                # Boundary-extended stack: the global wrap seam of the ring
+                # now only feeds outputs that get cropped, so the pass runs
+                # with plain ring halos (WRAP) regardless of cfg.boundary.
+                t = pad_stack(t, ks2, cfg.boundary, mean_val)
+                extra = ext - t.shape[0]
+                if extra:
+                    tail = jnp.broadcast_to(t[-1:], (extra,) + t.shape[1:])
+                    t = jnp.concatenate([t, tail], axis=0)
+                pass_boundary = Boundary.WRAP
+            else:
+                pass_boundary = cfg.boundary
             # Re-shard the new leading (filtered) axis across the mesh; XLA
             # lowers the layout change to an all-to-all over ICI.
             t = jax.lax.with_sharding_constraint(
                 t, NamedSharding(mesh, P(AXIS, None, None)))
-            t = _sharded_pass(padded_pass, mesh, t, taps, cfg.boundary, mean_val)
+            t = _sharded_pass(padded_pass, mesh, t, taps, pass_boundary,
+                              mean_val)
+            if ext != n:
+                t = jax.lax.slice_in_dim(t, ks2, ks2 + n, axis=0)
             out = jnp.transpose(t, inv_t)
         return out
 
     if jit:
-        in_sharding = NamedSharding(mesh, P(AXIS, None, None))
-        vol = jax.device_put(vol, in_sharding)
-        run = jax.jit(run, in_shardings=in_sharding, out_shardings=in_sharding)
+        # device_put/jit shardings require divisibility; shard the first
+        # divisible axis at ingest (the in-jit constraints re-shard each
+        # pass anyway), replicating only when no axis divides.
+        spec = P()
+        for ax in range(3):
+            if vol.shape[ax] % n_dev == 0:
+                spec = P(*(AXIS if i == ax else None for i in range(3)))
+                break
+        io_sharding = NamedSharding(mesh, spec)
+        vol = jax.device_put(vol, io_sharding)
+        run = jax.jit(run, in_shardings=io_sharding, out_shardings=io_sharding)
     return run(vol)

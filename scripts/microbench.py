@@ -29,23 +29,26 @@ def _sync(out):
     float(np.asarray(leaf).reshape(-1)[0])
 
 
-def timed_scan(step, init, reps=REPS, outer=3):
-    """Time ``reps`` sequential applications of ``step`` inside one jit."""
+def timed_scan(step, init, *consts, reps=REPS, outer=3):
+    """Time ``reps`` sequential applications of ``step(carry, *consts)``
+    inside one jit.  Large operands must be passed via ``consts`` (explicit
+    jit arguments) -- closing over them embeds them as HLO constants, which
+    overflows the remote compile transport."""
     import jax
 
     @jax.jit
-    def many(x):
+    def many(x, *cs):
         def body(c, _):
-            return step(c), None
+            return step(c, *cs), None
         out, _ = jax.lax.scan(body, x, None, length=reps)
         return out
 
-    out = many(init)
+    out = many(init, *consts)
     _sync(out)
     best = float("inf")
     for _ in range(outer):
         t0 = time.perf_counter()
-        out = many(init)
+        out = many(init, *consts)
         _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best / reps
@@ -89,8 +92,8 @@ def main():
             rng.uniform(-1, 1, size=(n, hk, wk, 2)).astype(np.float32))
 
         t_um = timed_scan(
-            lambda f: update_matrices(r0, r1, f, d, cfg.sampler)[..., :2] * 1e-3,
-            flow0)
+            lambda f, a, b_: update_matrices(a, b_, f, d, cfg.sampler)[..., :2] * 1e-3,
+            flow0, r0, r1)
         m0 = jax.jit(lambda f: update_matrices(r0, r1, f, d, cfg.sampler))(flow0)
         t_uf = timed_scan(
             lambda mm: mm * 0.99 + jnp.pad(
@@ -98,10 +101,22 @@ def main():
                 [(0, 0)] * 3 + [(0, 3)]),
             m0)
         t_umuf = timed_scan(
-            lambda f: update_flow(
-                update_matrices(r0, r1, f, d, cfg.sampler),
+            lambda f, a, b_: update_flow(
+                update_matrices(a, b_, f, d, cfg.sampler),
                 cfg.winsize, cfg.sampler),
-            flow0)
+            flow0, r0, r1)
+        try:
+            from flowdenoising_tpu.ops.pallas.sample import pallas_supported
+            from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas
+            if pallas_supported():
+                t_fused = timed_scan(
+                    lambda f, a, b_: umuf_pallas(a, b_, f, d, cfg.winsize),
+                    flow0, r0, r1)
+            else:
+                t_fused = float("nan")
+        except Exception as e:
+            print("fused kernel failed:", e)
+            t_fused = float("nan")
 
         if k > 0:
             t_rz = timed_scan(
@@ -115,13 +130,15 @@ def main():
         pass_total += lvl
         print(f"L{k} {hk:4d}x{wk:<4d} batch {n}: polyexp {t_pe*1e3:7.2f}ms  "
               f"UM {t_um*1e3:7.2f}ms  UF {t_uf*1e3:7.2f}ms  "
-              f"UM+UF {t_umuf*1e3:7.2f}ms  resize {t_rz*1e3:6.2f}ms  -> "
+              f"UM+UF {t_umuf*1e3:7.2f}ms  fused {t_fused*1e3:7.2f}ms  "
+              f"resize {t_rz*1e3:6.2f}ms  -> "
               f"contrib {lvl:6.2f}s (UM {c_um*t_um:5.2f}s UF {c_uf*t_uf:5.2f}s)")
 
     img = jnp.asarray(rng.normal(size=(n, n, n)).astype(np.float32))
     flow = jnp.asarray(rng.uniform(-1, 1, size=(n, n, n, 2)).astype(np.float32))
     t_wp = timed_scan(
-        lambda s: warp_slices(s, flow, cfg.max_displacement, cfg.sampler), img)
+        lambda s, f: warp_slices(s, f, cfg.max_displacement, cfg.sampler),
+        img, flow)
     pass_total += taps_nc * t_wp
     print(f"tap warp {n}x{n} batch {n}: {t_wp*1e3:7.2f}ms -> contrib "
           f"{taps_nc * t_wp:5.2f}s")

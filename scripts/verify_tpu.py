@@ -61,6 +61,13 @@ def main():
                 warp_slices(img, jnp.stack([u, v], -1), 6, "auto"),
                 bilinear_displace_windowed(img, u, v, 6), 2e-4)
 
+    from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas
+    ok &= check("fused UM+UF kernel",
+                umuf_pallas(R0, R1, flow, 4, 5),
+                F.update_flow(
+                    F.update_matrices(R0, R1, flow, 4, sampler="windowed"),
+                    5, sampler="windowed"), 5e-4)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 

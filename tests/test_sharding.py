@@ -18,11 +18,14 @@ def test_eight_devices_available():
 
 
 def test_usable_device_count():
+    # Non-divisible axes are padded+cropped, so the only constraint is that
+    # each padded shard covers one halo.
     assert usable_device_count((16, 24, 16), 2, 8) == 8
-    assert usable_device_count((12, 24, 16), 2, 8) == 4
-    assert usable_device_count((7, 11, 13), 2, 8) == 1
-    # halo must fit in the local shard
-    assert usable_device_count((16, 16, 16), 3, 8) == 4
+    assert usable_device_count((12, 24, 16), 2, 8) == 8
+    assert usable_device_count((7, 11, 13), 2, 8) == 8
+    assert usable_device_count((16, 16, 16), 3, 8) == 8
+    # tiny axis: ceil((3 + 2*3)/8) = 2 < halo 3 -> fewer devices
+    assert usable_device_count((3, 16, 16), 3, 8) == 4
 
 
 @pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN, Boundary.REPLICATE])
@@ -47,9 +50,32 @@ def test_sharded_of_denoise_matches_single(boundary):
     assert err.max() < 5e-3, err.max()
 
 
-def test_sharded_falls_back_on_indivisible_volume():
-    vol = make_blob_volume(10, 24, 16, seed=9)  # Z=10 not divisible by 8
+@pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN, Boundary.REPLICATE])
+def test_sharded_gaussian_uneven_axes(boundary):
+    # No axis divisible by 8: every pass takes the pad+crop path.
+    vol = make_blob_volume(10, 21, 13, seed=9)
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=boundary, use_flow=False)
+    single = np.asarray(gaussian_denoise(vol, cfg.sigma, boundary))
+    mesh = make_mesh(8)
+    sharded = np.asarray(denoise_sharded(vol, cfg, mesh=mesh))
+    np.testing.assert_allclose(sharded, single, atol=2e-3)
+
+
+@pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN])
+def test_sharded_of_uneven_axes(boundary):
+    vol = make_blob_volume(11, 19, 17, seed=10)
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=boundary,
+                       flow=FlowConfig(levels=0, winsize=5))
+    single = np.asarray(denoise(vol, cfg))
+    sharded = np.asarray(denoise_sharded(vol, cfg, mesh=make_mesh(8)))
+    err = np.abs(sharded - single)
+    assert err.max() < 5e-3, err.max()
+
+
+def test_sharded_uneven_mixed_divisibility():
+    # Z divisible by 8, Y/X not: per-pass paths differ within one run.
+    vol = make_blob_volume(16, 21, 13, seed=11)
     cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), use_flow=False)
     single = np.asarray(gaussian_denoise(vol, cfg.sigma, cfg.boundary))
-    sharded = np.asarray(denoise_sharded(vol, cfg, n_devices=8))
+    sharded = np.asarray(denoise_sharded(vol, cfg, mesh=make_mesh(8)))
     np.testing.assert_allclose(sharded, single, atol=2e-4)
