@@ -13,7 +13,9 @@ Prints ONE JSON line:
   no numbers (BASELINE.md), so this measured oracle is the baseline.
 
 Env knobs: BENCH_SIZE (default 256), BENCH_BASELINE_Z (default 4; 0 skips,
-using a cached/default baseline rate), BENCH_MODE (of|gauss).
+using a cached/default baseline rate), BENCH_MODE (of|gauss),
+BENCH_PRECISION (float32|bfloat16 -- the bf16 fast mode: single-pass MXU +
+packed bf16-pair sampling; parity vs f32 is documented in QUALITY.md).
 """
 
 import json
@@ -92,13 +94,15 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "256"))
     mode = os.environ.get("BENCH_MODE", "of")
     baseline_z = int(os.environ.get("BENCH_BASELINE_Z", "4"))
+    precision = os.environ.get("BENCH_PRECISION", "float32")
     sigma = 2.0
     levels, winsize = 3, 5
 
     from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
     cfg = FilterConfig(
         sigma=(sigma,) * 3, boundary=Boundary.WRAP, use_flow=(mode == "of"),
-        flow=FlowConfig(levels=levels, winsize=winsize, use_initial_flow=True),
+        flow=FlowConfig(levels=levels, winsize=winsize, use_initial_flow=True,
+                        precision=precision),
         slab_size=None)
 
     vol = make_volume(size, size, size, seed=0)

@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard the volume over this many devices (default: all available)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                    help="Optical-flow compute dtype")
+    p.add_argument("--precision", choices=["float32", "bfloat16"], default="float32",
+                   help="Flow inner-pass precision; bfloat16 is the fast mode "
+                        "(single-pass MXU + packed bf16-pair sampling)")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="Persist the volume after each completed axis pass here and "
                         "resume from the last completed pass on restart")
@@ -102,6 +105,7 @@ def main(argv=None) -> int:
             winsize=int(args.winsize),
             use_initial_flow=not args.recompute_flow,
             dtype=args.dtype,
+            precision=args.precision,
         ),
         slab_size=args.slab_size,
     )

@@ -52,9 +52,11 @@ class FlowConfig:
     # Compute dtype for flow internals.  float32 matches the reference;
     # bfloat16 trades a little accuracy for MXU throughput.
     dtype: str = "float32"
-    # MXU pass precision for convs/matmuls inside the flow computation.
-    # TPU hardware defaults f32 matmuls to bfloat16 passes; "float32" (3-pass)
-    # keeps cv2-level parity, "bfloat16" is the fast mode.
+    # Precision of the flow computation's inner passes.  "float32" keeps
+    # cv2-level parity.  "bfloat16" is the fast mode: MXU convs/matmuls run
+    # single-pass bf16 AND the Pallas sampling kernels read the reference
+    # expansion as packed bf16 pairs (one gather returns both bilinear
+    # x-neighbors -- half the gather cost).  Output accumulation stays f32.
     precision: str = "float32"
     # Displacement bound (pixels) for the gather-free bilinear sampling fast
     # paths.  Results are identical to the exact gather path whenever

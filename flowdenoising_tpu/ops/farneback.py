@@ -129,12 +129,14 @@ def _border_scale_map(h: int, w: int) -> np.ndarray:
 
 def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                     max_displacement: int | None = None,
-                    sampler: str = "auto") -> jnp.ndarray:
+                    sampler: str = "auto", packed: bool = False) -> jnp.ndarray:
     """Per-pixel normal-equation entries M = [G11, G12, G22, h1, h2].
 
     r0, r1: (..., H, W, 5) polynomial expansions of target and reference;
     flow: (..., H, W, 2) current displacement (x, y).
-    ``max_displacement`` selects the gather-free windowed sampling fast path.
+    ``max_displacement`` selects the gather-free windowed sampling fast path;
+    ``packed`` additionally samples r1 at bfloat16 pair precision (Pallas
+    path only -- half the gathers, the documented fast mode).
     """
     h, w = r0.shape[-3], r0.shape[-2]
     dtype = r0.dtype
@@ -144,7 +146,8 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
         from flowdenoising_tpu.ops.pallas.update_matrices import (
             update_matrices_pallas)
         if pallas_supported():
-            return update_matrices_pallas(r0, r1, flow, max_displacement)
+            return update_matrices_pallas(r0, r1, flow, max_displacement,
+                                          packed=packed)
 
     dx = flow[..., 0]
     dy = flow[..., 1]
@@ -223,6 +226,7 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
     """Fixed-point iterations at one pyramid level (parallel-equivalent form
     of OpenCV's stripe-interleaved sweep; see module docstring)."""
     d = _level_displacement(cfg, level)
+    packed = cfg.precision == "bfloat16"
     if d is not None and cfg.sampler in ("auto", "pallas"):
         from flowdenoising_tpu.ops.pallas.sample import pallas_supported
         if pallas_supported():
@@ -231,13 +235,13 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
             from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas
             for _ in range(cfg.iterations):
                 flow = umuf_pallas(r0, r1, flow.astype(r0.dtype), d,
-                                   cfg.winsize)
+                                   cfg.winsize, packed=packed)
             return flow
-    m = update_matrices(r0, r1, flow, d, cfg.sampler)
+    m = update_matrices(r0, r1, flow, d, cfg.sampler, packed=packed)
     for i in range(cfg.iterations):
         flow = update_flow(m, cfg.winsize, cfg.sampler)
         if i < cfg.iterations - 1:
-            m = update_matrices(r0, r1, flow, d, cfg.sampler)
+            m = update_matrices(r0, r1, flow, d, cfg.sampler, packed=packed)
     return flow
 
 

@@ -51,6 +51,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_PAIR_MASK_HI = np.uint32(0xFFFF0000)
+
+
+def pack_pairs(src: jnp.ndarray) -> jnp.ndarray:
+    """Pack adjacent column pairs as two bfloat16s in one 32-bit lane.
+
+    packed[..., i] = (bf16bits(src[..., i]) << 16) | bf16bits(src[..., i+1])
+    (the last pair's right neighbor is edge-replicated), so a single 32-bit
+    lane gather at index i yields BOTH bilinear x-neighbors -- halving the
+    gather count of the sampling kernels at bfloat16 source precision.
+    ``unpack_pair`` recovers the two values: a bfloat16's float32 bit
+    pattern is its own 16 bits shifted into the high half.
+    """
+    b = src.astype(jnp.bfloat16)
+    bits = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
+    pad = [(0, 0)] * (bits.ndim - 1) + [(0, 1)]
+    bits = jnp.pad(bits, pad, mode="edge")
+    return (bits[..., :-1] << 16) | bits[..., 1:]
+
+
+def unpack_pair(pk: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(left, right) float32 values from a ``pack_pairs`` lane."""
+    g0 = jax.lax.bitcast_convert_type(pk & _PAIR_MASK_HI, jnp.float32)
+    g1 = jax.lax.bitcast_convert_type(pk << 16, jnp.float32)
+    return g0, g1
+
+
 def pallas_supported() -> bool:
     """True when the default backend can run Mosaic TPU kernels."""
     try:

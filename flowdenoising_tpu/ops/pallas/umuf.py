@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flowdenoising_tpu.ops.pallas.sample import _round_up, _LANE, plane_row_tiles
+from flowdenoising_tpu.ops.pallas.sample import (
+    _round_up, _LANE, plane_row_tiles, pack_pairs, unpack_pair)
 from flowdenoising_tpu.ops.pallas.update_matrices import _edge_weight
 
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
@@ -74,7 +75,8 @@ def _replicated_rows(m_ref, c: int, lo: int, n_rows: int, top: int, bot: int,
 
 def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
                  d: int, winsize: int, th: int, hm: int, w_out: int,
-                 w_true: int, a: int, m0: int, h_true: int):
+                 w_true: int, a: int, m0: int, h_true: int,
+                 packed: bool = False):
     """One batch element.  r0/u/v cover M rows [m0, m0+hm); r1p additionally
     carries d+1 context rows per side; out covers output rows [a, a+th)."""
     m = d + 1
@@ -111,10 +113,11 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
         i_a0 = jnp.clip(l_idx, 0, _LANE - 1)
         i_b0 = jnp.clip(l_idx - _LANE, 0, _LANE - 1)
         use_b0 = l_idx >= _LANE
-        l1 = l_idx + 1
-        i_a1 = jnp.clip(l1, 0, _LANE - 1)
-        i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
-        use_b1 = l1 >= _LANE
+        if not packed:
+            l1 = l_idx + 1
+            i_a1 = jnp.clip(l1, 0, _LANE - 1)
+            i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
+            use_b1 = l1 >= _LANE
 
         # Displaced 5-channel sampling with per-block dead-shift skipping
         # (see ops/pallas/update_matrices.py for the scheme).
@@ -134,11 +137,15 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
                     gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1,
                                               mode="promise_in_bounds")
                     g0 = jnp.where(use_b0, gb0, ga0)
-                    ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1,
-                                              mode="promise_in_bounds")
-                    gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1,
-                                              mode="promise_in_bounds")
-                    g1 = jnp.where(use_b1, gb1, ga1)
+                    if packed:
+                        # One bf16-pair gather yields both x-neighbors.
+                        g0, g1 = unpack_pair(g0)
+                    else:
+                        ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1,
+                                                  mode="promise_in_bounds")
+                        gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1,
+                                                  mode="promise_in_bounds")
+                        g1 = jnp.where(use_b1, gb1, ga1)
                     acc_ref[c] += wy * (g0 + (g1 - g0) * tu)
 
         r00 = r0_ref[0, 0, :, x0:x0 + _LANE]
@@ -204,13 +211,16 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
 
 
 def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
-               a: int, m0: int, h_true: int, w: int, interpret: bool):
+               a: int, m0: int, h_true: int, w: int, interpret: bool,
+               packed: bool = False):
     b, c, hm, _ = r0_t.shape
     m = d + 1
     w_out = _round_up(w, _LANE)
     w_src = w_out + _LANE
     r1p = jnp.pad(r1_t.astype(jnp.float32),
                   ((0, 0), (0, 0), (0, 0), (m, w_src - w - m)), mode="edge")
+    if packed:
+        r1p = pack_pairs(r1p)
     pad_xy = ((0, 0), (0, 0), (0, w_out - w))
     u_p = jnp.pad(u_t.astype(jnp.float32), pad_xy)
     v_p = jnp.pad(v_t.astype(jnp.float32), pad_xy)
@@ -219,7 +229,8 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
 
     out = pl.pallas_call(
         functools.partial(_umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
-                          w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true),
+                          w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
+                          packed=packed),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, _CH, hm, w_out), lambda bb: (bb, 0, 0, 0),
@@ -244,11 +255,12 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_displacement", "winsize", "interpret"))
+                   static_argnames=("max_displacement", "winsize", "interpret",
+                                    "packed"))
 def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
                     u: jnp.ndarray, v: jnp.ndarray,
                     max_displacement: int, winsize: int,
-                    interpret: bool = False):
+                    interpret: bool = False, packed: bool = False):
     """Channel-first fused iteration.  r0, r1: (B, 5, H, W); u, v: (B, H, W)
     -> flow (B, 2, H, W).  Row-tiled with exact M-row context."""
     b, c, h, w = r0.shape
@@ -267,7 +279,7 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
             r0[:, :, m0:m1], r1p_plane[:, :, m0:m1 + 2 * m],
             u[:, m0:m1], v[:, m0:m1],
             d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
-            interpret=interpret))
+            interpret=interpret, packed=packed))
     if len(outs) == 1:
         return outs[0]
     return jnp.concatenate(outs, axis=2)
@@ -275,12 +287,14 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
 
 def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                 max_displacement: int, winsize: int,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, packed: bool = False) -> jnp.ndarray:
     """Fused Farneback iteration, channels-last API.
 
     r0, r1: (..., H, W, 5) polynomial expansions; flow: (..., H, W, 2).
     Returns the updated flow (..., H, W, 2); numerically identical to
-    ``update_flow(update_matrices(r0, r1, flow, d), winsize)``.
+    ``update_flow(update_matrices(r0, r1, flow, d), winsize)``.  ``packed``
+    samples the reference expansion at bfloat16 precision with half the
+    gathers (the fast mode; flow differences are sub-1e-2 px).
     """
     lead = r0.shape[:-3]
     h, w = r0.shape[-3], r0.shape[-2]
@@ -288,6 +302,7 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     r1cf = jnp.moveaxis(r1, -1, -3).reshape((-1, _CH, h, w))
     u = flow[..., 0].reshape((-1, h, w))
     v = flow[..., 1].reshape((-1, h, w))
-    f = _umuf_pallas_cf(r0cf, r1cf, u, v, max_displacement, winsize, interpret)
+    f = _umuf_pallas_cf(r0cf, r1cf, u, v, max_displacement, winsize, interpret,
+                        packed)
     f = f.reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)

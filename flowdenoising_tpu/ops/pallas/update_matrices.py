@@ -24,7 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flowdenoising_tpu.ops.pallas.sample import _round_up, _LANE
+from flowdenoising_tpu.ops.pallas.sample import (
+    _round_up, _LANE, pack_pairs, unpack_pair)
 
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 _BORDER_RAMP = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
@@ -51,7 +52,8 @@ def _edge_weight(pos: jnp.ndarray, extent: int) -> jnp.ndarray:
 
 
 def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
-               h: int, w_true: int, y0: int, h_true: int):
+               h: int, w_true: int, y0: int, h_true: int,
+               packed: bool = False):
     m = d + 1
     xb = pl.program_id(1)
     x0 = xb * _LANE
@@ -80,10 +82,11 @@ def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
     i_a0 = jnp.clip(l_idx, 0, _LANE - 1)
     i_b0 = jnp.clip(l_idx - _LANE, 0, _LANE - 1)
     use_b0 = l_idx >= _LANE
-    l1 = l_idx + 1
-    i_a1 = jnp.clip(l1, 0, _LANE - 1)
-    i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
-    use_b1 = l1 >= _LANE
+    if not packed:
+        l1 = l_idx + 1
+        i_a1 = jnp.clip(l1, 0, _LANE - 1)
+        i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
+        use_b1 = l1 >= _LANE
 
     zero = jnp.float32(0.0)
     one = jnp.float32(1.0)
@@ -107,9 +110,13 @@ def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
                 ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1, mode="promise_in_bounds")
                 gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1, mode="promise_in_bounds")
                 g0 = jnp.where(use_b0, gb0, ga0)
-                ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1, mode="promise_in_bounds")
-                gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1, mode="promise_in_bounds")
-                g1 = jnp.where(use_b1, gb1, ga1)
+                if packed:
+                    # One bf16-pair gather yields both x-neighbors.
+                    g0, g1 = unpack_pair(g0)
+                else:
+                    ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1, mode="promise_in_bounds")
+                    gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1, mode="promise_in_bounds")
+                    g1 = jnp.where(use_b1, gb1, ga1)
                 acc_ref[c] += wy * (g0 + (g1 - g0) * tu)
 
     s0 = acc_ref[0]
@@ -147,7 +154,7 @@ def _um_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, acc_ref, *, d: int,
 
 
 def _um_call(r0_t, r1_rows, u_t, v_t, d: int, y0: int, h_true: int,
-             w: int, interpret: bool):
+             w: int, interpret: bool, packed: bool = False):
     """Kernel invocation on a row tile.
 
     r0_t/u_t/v_t cover the tile's output rows; r1_rows additionally carries
@@ -160,6 +167,8 @@ def _um_call(r0_t, r1_rows, u_t, v_t, d: int, y0: int, h_true: int,
     w_src = w_out + _LANE
     r1p = jnp.pad(r1_rows.astype(jnp.float32),
                   ((0, 0), (0, 0), (0, 0), (m, w_src - w - m)), mode="edge")
+    if packed:
+        r1p = pack_pairs(r1p)
     pad_xy = ((0, 0), (0, 0), (0, w_out - w))
     u_p = jnp.pad(u_t.astype(jnp.float32), pad_xy)
     v_p = jnp.pad(v_t.astype(jnp.float32), pad_xy)
@@ -167,7 +176,8 @@ def _um_call(r0_t, r1_rows, u_t, v_t, d: int, y0: int, h_true: int,
 
     grid = (b, w_out // _LANE)
     out = pl.pallas_call(
-        functools.partial(_um_kernel, d=d, h=h, w_true=w, y0=y0, h_true=h_true),
+        functools.partial(_um_kernel, d=d, h=h, w_true=w, y0=y0, h_true=h_true,
+                          packed=packed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _CH, h, _LANE), lambda bb, xb: (bb, 0, 0, xb),
@@ -190,10 +200,12 @@ def _um_call(r0_t, r1_rows, u_t, v_t, d: int, y0: int, h_true: int,
     return out[:, :, :, :w]
 
 
-@functools.partial(jax.jit, static_argnames=("max_displacement", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_displacement", "interpret", "packed"))
 def _update_matrices_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
                                u: jnp.ndarray, v: jnp.ndarray,
-                               max_displacement: int, interpret: bool = False):
+                               max_displacement: int, interpret: bool = False,
+                               packed: bool = False):
     """Channel-first fused UM.  r0, r1: (B, 5, H, W); u, v: (B, H, W).
 
     Large planes are processed in row tiles with exact overlapping context
@@ -213,7 +225,7 @@ def _update_matrices_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
         r1_rows = jax.lax.dynamic_slice_in_dim(r1_rows_p, a, th + 2 * m, axis=2)
         outs.append(_um_call(r0[:, :, a:a + th], r1_rows,
                              u[:, a:a + th], v[:, a:a + th],
-                             d, a, h, w, interpret))
+                             d, a, h, w, interpret, packed))
     if len(outs) == 1:
         return outs[0]
     return jnp.concatenate(outs, axis=2)
@@ -221,15 +233,18 @@ def _update_matrices_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
 
 def update_matrices_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                            max_displacement: int,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           packed: bool = False) -> jnp.ndarray:
     """Fused UM, channels-last API: r0, r1 (..., H, W, 5), flow (..., H, W, 2)
-    -> M (..., H, W, 5)."""
+    -> M (..., H, W, 5).  ``packed`` selects the bf16 pair-gather fast path
+    (reference expansion sampled at bfloat16 precision, half the gathers)."""
     lead = r0.shape[:-3]
     h, w = r0.shape[-3], r0.shape[-2]
     r0cf = jnp.moveaxis(r0, -1, -3).reshape((-1, _CH, h, w))
     r1cf = jnp.moveaxis(r1, -1, -3).reshape((-1, _CH, h, w))
     u = flow[..., 0].reshape((-1, h, w))
     v = flow[..., 1].reshape((-1, h, w))
-    m = _update_matrices_pallas_cf(r0cf, r1cf, u, v, max_displacement, interpret)
+    m = _update_matrices_pallas_cf(r0cf, r1cf, u, v, max_displacement,
+                                   interpret, packed)
     m = m.reshape(lead + (_CH, h, w))
     return jnp.moveaxis(m, -3, -1)

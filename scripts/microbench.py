@@ -24,9 +24,12 @@ REPS = 8
 def _sync(out):
     # A scalar fetch forces device synchronization (more robust than
     # block_until_ready across remote PJRT transports; see bench.py).
+    # MUST slice on-device before fetching: np.asarray(leaf) would pull the
+    # whole array through the remote tunnel (~20 MB/s) and time that
+    # transfer instead of the kernel.
     import jax
     leaf = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(leaf).reshape(-1)[0])
+    float(leaf.reshape(-1)[0])
 
 
 def timed_scan(step, init, *consts, reps=REPS, outer=3):
@@ -94,7 +97,8 @@ def main():
         t_um = timed_scan(
             lambda f, a, b_: update_matrices(a, b_, f, d, cfg.sampler)[..., :2] * 1e-3,
             flow0, r0, r1)
-        m0 = jax.jit(lambda f: update_matrices(r0, r1, f, d, cfg.sampler))(flow0)
+        m0 = jax.jit(lambda f, a, b_: update_matrices(a, b_, f, d, cfg.sampler)
+                     )(flow0, r0, r1)
         t_uf = timed_scan(
             lambda mm: mm * 0.99 + jnp.pad(
                 update_flow(mm, cfg.winsize, cfg.sampler),
@@ -112,11 +116,15 @@ def main():
                 t_fused = timed_scan(
                     lambda f, a, b_: umuf_pallas(a, b_, f, d, cfg.winsize),
                     flow0, r0, r1)
+                t_packed = timed_scan(
+                    lambda f, a, b_: umuf_pallas(a, b_, f, d, cfg.winsize,
+                                                 packed=True),
+                    flow0, r0, r1)
             else:
-                t_fused = float("nan")
+                t_fused = t_packed = float("nan")
         except Exception as e:
             print("fused kernel failed:", e)
-            t_fused = float("nan")
+            t_fused = t_packed = float("nan")
 
         if k > 0:
             t_rz = timed_scan(
@@ -131,6 +139,7 @@ def main():
         print(f"L{k} {hk:4d}x{wk:<4d} batch {n}: polyexp {t_pe*1e3:7.2f}ms  "
               f"UM {t_um*1e3:7.2f}ms  UF {t_uf*1e3:7.2f}ms  "
               f"UM+UF {t_umuf*1e3:7.2f}ms  fused {t_fused*1e3:7.2f}ms  "
+              f"packed {t_packed*1e3:7.2f}ms  "
               f"resize {t_rz*1e3:6.2f}ms  -> "
               f"contrib {lvl:6.2f}s (UM {c_um*t_um:5.2f}s UF {c_uf*t_uf:5.2f}s)")
 

@@ -68,6 +68,13 @@ def main():
                     F.update_matrices(R0, R1, flow, 4, sampler="windowed"),
                     5, sampler="windowed"), 5e-4)
 
+    bf = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+    ok &= check("packed bf16-pair UM+UF kernel",
+                umuf_pallas(R0, R1, flow, 4, 5, packed=True),
+                F.update_flow(
+                    F.update_matrices(R0, bf(R1), flow, 4, sampler="windowed"),
+                    5, sampler="windowed"), 5e-3)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
