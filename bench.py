@@ -95,6 +95,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "of")
     baseline_z = int(os.environ.get("BENCH_BASELINE_Z", "4"))
     precision = os.environ.get("BENCH_PRECISION", "float32")
+    tap_flow = os.environ.get("BENCH_TAP_FLOW", "solve")
     sigma = 2.0
     levels, winsize = 3, 5
 
@@ -102,7 +103,7 @@ def main():
     cfg = FilterConfig(
         sigma=(sigma,) * 3, boundary=Boundary.WRAP, use_flow=(mode == "of"),
         flow=FlowConfig(levels=levels, winsize=winsize, use_initial_flow=True,
-                        precision=precision),
+                        precision=precision, tap_mode=tap_flow),
         slab_size=None)
 
     vol = make_volume(size, size, size, seed=0)
@@ -116,7 +117,9 @@ def main():
 
     result = {
         "metric": f"{'OF' if mode == 'of' else 'Gaussian'} denoise throughput, "
-                  f"{size}^3 f32, sigma=2 (17 taps/axis), levels={levels}, winsize={winsize}",
+                  f"{size}^3 {'bf16-fast' if precision == 'bfloat16' else 'f32'}"
+                  f"{'' if tap_flow == 'solve' else ' ' + tap_flow}, "
+                  f"sigma=2 (17 taps/axis), levels={levels}, winsize={winsize}",
         "value": round(tpu_rate, 3),
         "unit": "Mvoxel/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2) if cpu_rate else None,

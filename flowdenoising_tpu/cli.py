@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", choices=["float32", "bfloat16"], default="float32",
                    help="Flow inner-pass precision; bfloat16 is the fast mode "
                         "(single-pass MXU + packed bf16-pair sampling)")
+    p.add_argument("--tap_flow", choices=["solve", "compose", "compose_refine"],
+                   default="solve",
+                   help="Per-tap flow strategy: 'solve' = reference parity "
+                        "(one Farneback solve per tap pair); 'compose' = solve "
+                        "adjacent pairs only and chain flow fields (~8x fewer "
+                        "solves); 'compose_refine' adds one full-res Farneback "
+                        "iteration per tap")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="Persist the volume after each completed axis pass here and "
                         "resume from the last completed pass on restart")
@@ -106,6 +113,7 @@ def main(argv=None) -> int:
             use_initial_flow=not args.recompute_flow,
             dtype=args.dtype,
             precision=args.precision,
+            tap_mode=args.tap_flow,
         ),
         slab_size=args.slab_size,
     )

@@ -67,6 +67,18 @@ class FlowConfig:
     # elsewhere), "pallas", "windowed", or exact gather when
     # max_displacement is None.
     sampler: str = "auto"
+    # How per-tap flows are obtained (the reference solves Farneback anew
+    # for every (target, neighbor) tap pair, flowdenoising.py:310-324):
+    #   "solve"          -- reference-parity: one seeded pyramid solve per tap.
+    #   "compose"        -- fast mode: solve only ADJACENT slice pairs (one
+    #                       batched solve per direction per pass), then chain
+    #                       tap flows by composing flow fields:
+    #                       F_{z->z+j} = F_{z->z+j-1} + warp(a_{z+j-1}, F_{z->z+j-1}).
+    #                       ~8x fewer pyramid solves; identical for the
+    #                       adjacent taps, approximate beyond them.
+    #   "compose_refine" -- compose, then one full-resolution Farneback
+    #                       iteration per tap to re-anchor the composed flow.
+    tap_mode: str = "solve"
 
     def clamped_levels(self, height: int, width: int) -> int:
         """Number of pyramid levels actually used for an image size.

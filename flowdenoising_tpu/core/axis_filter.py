@@ -35,8 +35,9 @@ import numpy as np
 
 from flowdenoising_tpu.config import Boundary, FlowConfig
 from flowdenoising_tpu.ops.farneback import (
-    polyexp_pyramid, flow_from_pyramids, matmul_precision)
-from flowdenoising_tpu.ops.warp import warp_slices
+    polyexp_pyramid, flow_from_pyramids, matmul_precision,
+    update_matrices, update_flow, _level_displacement)
+from flowdenoising_tpu.ops.warp import warp_slices, displace_sample
 
 
 def pad_stack(vol: jnp.ndarray, pad: int, boundary: Boundary,
@@ -96,6 +97,8 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
     at once (flowdenoising.py:306-327): two outward tap runs with chained
     prev_flow, center tap unwarped.
     """
+    if flow_cfg.tap_mode != "solve":
+        return _of_pass_composed(padded, taps, flow_cfg)
     taps = np.asarray(taps, dtype=np.float64)
     ksize = len(taps)
     assert ksize % 2 == 1, "kernel size must be odd"
@@ -152,6 +155,93 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
         # Forward run: i = ks2+1 .. K-1 <=> offsets +1 .. +ks2.
         acc = run([+j for j in range(1, ks2 + 1)],
                   [taps[ks2 + j] for j in range(1, ks2 + 1)], acc)
+    return acc.astype(jnp.float32)
+
+
+def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
+                      flow_cfg: FlowConfig) -> jnp.ndarray:
+    """Composed-flow OF pass (FlowConfig.tap_mode "compose"/"compose_refine").
+
+    TPU-first redesign of the tap loop: instead of one seeded pyramid solve
+    per (target, neighbor) pair (2*ks2 solves per output slice,
+    flowdenoising.py:310-324), Farneback runs once per DIRECTION on all
+    adjacent slice pairs of the stack, and the flow to a tap at distance j
+    is built by composing the chain of adjacent fields:
+
+        F_1 = a_z;   F_j = F_{j-1} + warp(a_{z+j-1}, F_{j-1})
+
+    (same outward two-run structure, composition replaces the solve).  The
+    adjacent-tap flows are exactly the solve-mode flows; farther taps are
+    approximations whose quality is re-anchored in "compose_refine" mode by
+    one full-resolution Farneback iteration against the true tap pair.
+    Beyond the ~8x solve-count reduction this drops the pyramid expansions
+    from the tap scan's live set, shrinking the pass working set.
+    """
+    taps = np.asarray(taps, dtype=np.float64)
+    ksize = len(taps)
+    assert ksize % 2 == 1, "kernel size must be odd"
+    ks2 = ksize // 2
+    dtype = jnp.dtype(flow_cfg.dtype)
+    padded = padded.astype(dtype)
+    n = padded.shape[0] - 2 * ks2
+    h, w = padded.shape[1], padded.shape[2]
+    vol = padded[ks2:ks2 + n]
+    refine = flow_cfg.tap_mode == "compose_refine"
+    d = flow_cfg.max_displacement
+    d0 = _level_displacement(flow_cfg, 0)
+    packed = flow_cfg.precision == "bfloat16"
+
+    with matmul_precision(flow_cfg):
+        r_levels = polyexp_pyramid(padded, flow_cfg)
+        lo = [r[:-1] for r in r_levels]
+        hi = [r[1:] for r in r_levels]
+        # a[k]: flow target slice k -> reference k+1 (forward chain link);
+        # b[k]: flow target slice k+1 -> reference k (backward chain link).
+        adj_fwd = flow_from_pyramids(lo, hi, flow_cfg, None).astype(dtype)
+        adj_bwd = flow_from_pyramids(hi, lo, flow_cfg, None).astype(dtype)
+        r_full = r_levels[0] if refine else None
+        r0_int = r_full[ks2:ks2 + n] if refine else None
+
+        acc0 = vol * jnp.asarray(taps[ks2], dtype)
+
+        def body_of(adj, adj_shift):
+            def body(carry, xs):
+                flow, acc = carry
+                start, weight = xs
+                link = jax.lax.dynamic_slice_in_dim(
+                    adj, start + adj_shift, n, axis=0)
+                link_cf = jnp.moveaxis(link, -1, -3)
+                warped_link = displace_sample(
+                    link_cf, flow[..., 0], flow[..., 1], d, flow_cfg.sampler)
+                flow = flow + jnp.moveaxis(warped_link, -3, -1)
+                if refine:
+                    r1s = jax.lax.dynamic_slice_in_dim(r_full, start, n, axis=0)
+                    m = update_matrices(r0_int, r1s, flow, d0,
+                                        flow_cfg.sampler, packed=packed)
+                    flow = update_flow(m, flow_cfg.winsize, flow_cfg.sampler)
+                flow = flow.astype(dtype)
+                neighbor = jax.lax.dynamic_slice_in_dim(padded, start, n, axis=0)
+                warped = warp_slices(neighbor, flow, d, flow_cfg.sampler)
+                acc = acc + (warped * weight).astype(dtype)
+                return (flow, acc), None
+            return body
+
+        def run(offsets, weights, acc, adj, adj_shift):
+            flow0 = jnp.zeros((n, h, w, 2), dtype=dtype) + vol[..., None] * 0
+            xs = (jnp.asarray([ks2 + o for o in offsets], jnp.int32),
+                  jnp.asarray(weights, dtype))
+            (_, acc), _ = jax.lax.scan(body_of(adj, adj_shift), (flow0, acc), xs)
+            return acc
+
+        # Backward run (offsets -1..-ks2): link for distance j is
+        # b_{z-j+1} = adj_bwd[z-j] -> padded index start (= ks2+i-j).
+        acc = run([-j for j in range(1, ks2 + 1)],
+                  [taps[ks2 - j] for j in range(1, ks2 + 1)], acc0,
+                  adj_bwd, 0)
+        # Forward run (offsets +1..+ks2): link a_{z+j-1} -> index start-1.
+        acc = run([+j for j in range(1, ks2 + 1)],
+                  [taps[ks2 + j] for j in range(1, ks2 + 1)], acc,
+                  adj_fwd, -1)
     return acc.astype(jnp.float32)
 
 

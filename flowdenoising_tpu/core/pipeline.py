@@ -83,11 +83,15 @@ def _axis_views():
 # expansion pyramid (5 ch x ~1.33 levels), constraint matrices (5 ch),
 # flows/accumulators/source copies (~6 ch-equivalents), all float32.
 _BYTES_PER_VOXEL = 4 * (5 * 1.4 + 5 + 6)
+# Compose tap modes additionally hold two adjacent-flow stacks (2 ch x 2
+# directions) across the tap scan.
+_BYTES_PER_VOXEL_COMPOSE = _BYTES_PER_VOXEL + 4 * 4
 # Leaves headroom for the volume itself, its transposed view, the padded
 # stack, the output ping-pong, the kernels' internal pad copies and XLA
-# overlay scratch within ~16G HBM (validated against the 1024x1024x512
-# headline volume).
-_AUTO_SLAB_BUDGET = 3 * 1024 ** 3
+# overlay scratch within ~16G HBM.  Calibrated on the 1024x1024x512
+# headline volume in compose mode: a 16-slice slab runs, an 18-slice slab
+# exhausts HBM -- this budget keeps the model inside the validated zone.
+_AUTO_SLAB_BUDGET = int(2.6 * 1024 ** 3)
 
 
 @functools.lru_cache(maxsize=512)
@@ -113,18 +117,26 @@ def _cached_pass(taps_key: tuple, boundary: Boundary, flow_key, slab):
     return jax.jit(one_pass)
 
 
-def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool) -> int | None:
-    """Pick a slab size so a pass's working set stays within budget."""
+def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool,
+               tap_mode: str = "solve") -> int | None:
+    """Pick a slab size so a pass's working set stays within budget.
+
+    The slab must come from the model, never rounded UP past it: a
+    too-large slab is a hard runtime OOM, a too-small one only costs halo
+    recompute (validated at 1024x1024x512, where the model's 16-slice slab
+    runs and 32 exhausts HBM).
+    """
     if not use_flow:
         return None
-    per_slice = h * w * _BYTES_PER_VOXEL
+    bpv = _BYTES_PER_VOXEL if tap_mode == "solve" else _BYTES_PER_VOXEL_COMPOSE
+    per_slice = h * w * bpv
     if (n + 2 * ks2) * per_slice <= _AUTO_SLAB_BUDGET:
         return None
     slab = int(_AUTO_SLAB_BUDGET / per_slice) - 2 * ks2
-    slab = max(32, slab)
-    # round down to an even divisor-ish size to keep slab count small
+    slab = max(8, slab)
+    # balance slab sizes without exceeding the model's bound
     n_slabs = -(-n // slab)
-    return -(-n // n_slabs)
+    return min(slab, -(-n // n_slabs))
 
 
 def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
@@ -210,7 +222,7 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
         if slab is None:
             plane = [vol.shape[ax] for ax in target[1:]]
             slab = _auto_slab(vol.shape[target[0]], plane[0], plane[1],
-                              len(taps) // 2, cfg.use_flow)
+                              len(taps) // 2, cfg.use_flow, cfg.flow.tap_mode)
 
         # jit per pass: keeps the CLI path compiled (eager dispatch through
         # remote PJRT transports is prohibitively slow) while still allowing

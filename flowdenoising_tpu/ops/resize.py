@@ -76,12 +76,20 @@ def _apply_separable(img: jnp.ndarray, wr: np.ndarray, wc: np.ndarray) -> jnp.nd
     """Apply per-axis weight matrices to the trailing two axes of ``img``.
 
     img: (..., H, W);  wr: (H', H);  wc: (W', W)  ->  (..., H', W')
+
+    Precision is pinned to float32 (HIGHEST) regardless of the ambient
+    default_matmul_precision: resize matmuls are a trivial share of the
+    FLOPs, and under a bf16 ambient precision XLA's bf16 resize fusions at
+    large batch sizes have been observed to blow the 16M scoped-VMEM stack
+    budget on v5e (the f32 lowering tiles fine).
     """
+    import jax
     dtype = img.dtype
     wr_j = jnp.asarray(wr, dtype=dtype)
     wc_j = jnp.asarray(wc, dtype=dtype)
-    out = jnp.einsum("hH,...HW->...hW", wr_j, img)
-    out = jnp.einsum("wW,...hW->...hw", wc_j, out)
+    prec = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("hH,...HW->...hW", wr_j, img, precision=prec)
+    out = jnp.einsum("wW,...hW->...hw", wc_j, out, precision=prec)
     return out
 
 

@@ -68,6 +68,10 @@ def main():
         ("tpu f32 exact-gather", dict(max_displacement=None)),
         ("tpu f32 recompute_flow", dict(use_initial_flow=False)),
         ("tpu bf16 D=8", dict(dtype="bfloat16", precision="bfloat16")),
+        ("tpu f32 compose", dict(tap_mode="compose")),
+        ("tpu f32 compose_refine", dict(tap_mode="compose_refine")),
+        ("tpu bf16 compose (fastest)", dict(tap_mode="compose",
+                                            precision="bfloat16")),
     ]
     v = jax.device_put(jnp.asarray(noisy))
     for name, over in configs:
