@@ -79,6 +79,12 @@ class FlowConfig:
     #   "compose_refine" -- compose, then one full-resolution Farneback
     #                       iteration per tap to re-anchor the composed flow.
     tap_mode: str = "solve"
+    # Displacement bound for the ADJACENT-pair solves of the compose modes.
+    # Adjacent-slice motion is sub-pixel drift in FIB-SEM stacks, so a much
+    # tighter window than max_displacement (which must cover whole-tap
+    # displacements) applies; smaller bounds shrink the sampling halo and
+    # shift window of every solve iteration.  None reuses max_displacement.
+    adjacent_displacement: int | None = 4
 
     def clamped_levels(self, height: int, width: int) -> int:
         """Number of pyramid levels actually used for an image size.

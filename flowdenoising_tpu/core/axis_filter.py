@@ -191,14 +191,24 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
     d0 = _level_displacement(flow_cfg, 0)
     packed = flow_cfg.precision == "bfloat16"
 
+    # Adjacent-pair solves use a tightened displacement bound (adjacent
+    # motion is sub-pixel drift; the composed/tap warps keep the full one).
+    adj_cfg = flow_cfg
+    if (flow_cfg.adjacent_displacement is not None
+            and flow_cfg.max_displacement is not None):
+        import dataclasses
+        adj_cfg = dataclasses.replace(
+            flow_cfg, max_displacement=min(flow_cfg.max_displacement,
+                                           flow_cfg.adjacent_displacement))
+
     with matmul_precision(flow_cfg):
         r_levels = polyexp_pyramid(padded, flow_cfg)
         lo = [r[:-1] for r in r_levels]
         hi = [r[1:] for r in r_levels]
         # a[k]: flow target slice k -> reference k+1 (forward chain link);
         # b[k]: flow target slice k+1 -> reference k (backward chain link).
-        adj_fwd = flow_from_pyramids(lo, hi, flow_cfg, None).astype(dtype)
-        adj_bwd = flow_from_pyramids(hi, lo, flow_cfg, None).astype(dtype)
+        adj_fwd = flow_from_pyramids(lo, hi, adj_cfg, None).astype(dtype)
+        adj_bwd = flow_from_pyramids(hi, lo, adj_cfg, None).astype(dtype)
         r_full = r_levels[0] if refine else None
         r0_int = r_full[ks2:ks2 + n] if refine else None
 

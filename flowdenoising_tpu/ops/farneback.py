@@ -141,7 +141,7 @@ def update_matrices(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     h, w = r0.shape[-3], r0.shape[-2]
     dtype = r0.dtype
 
-    if max_displacement is not None and sampler in ("auto", "pallas"):
+    if max_displacement is not None and sampler in ("auto", "pallas", "pallas_xwin"):
         from flowdenoising_tpu.ops.pallas.sample import pallas_supported
         from flowdenoising_tpu.ops.pallas.update_matrices import (
             update_matrices_pallas)
@@ -198,7 +198,7 @@ def update_flow(m: jnp.ndarray, winsize: int, sampler: str = "auto") -> jnp.ndar
 
     Returns flow (..., H, W, 2) with channel 0 = x displacement.
     """
-    if sampler in ("auto", "pallas"):
+    if sampler in ("auto", "pallas", "pallas_xwin"):
         from flowdenoising_tpu.ops.pallas.sample import pallas_supported
         from flowdenoising_tpu.ops.pallas.update_flow import update_flow_pallas
         if pallas_supported():
@@ -227,15 +227,19 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
     of OpenCV's stripe-interleaved sweep; see module docstring)."""
     d = _level_displacement(cfg, level)
     packed = cfg.precision == "bfloat16"
-    if d is not None and cfg.sampler in ("auto", "pallas"):
+    if d is not None and cfg.sampler in ("auto", "pallas", "pallas_xwin"):
         from flowdenoising_tpu.ops.pallas.sample import pallas_supported
         if pallas_supported():
             # Fused UM+UF iteration: M never leaves VMEM
             # (ops/pallas/umuf.py); identical math to the split path below.
+            # "pallas_xwin" samples via static shift windows on both axes
+            # instead of lane gathers (faster for smooth flows).
             from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas
+            xwin = cfg.sampler == "pallas_xwin"
             for _ in range(cfg.iterations):
                 flow = umuf_pallas(r0, r1, flow.astype(r0.dtype), d,
-                                   cfg.winsize, packed=packed)
+                                   cfg.winsize, packed=packed and not xwin,
+                                   xwin=xwin)
             return flow
     m = update_matrices(r0, r1, flow, d, cfg.sampler, packed=packed)
     for i in range(cfg.iterations):

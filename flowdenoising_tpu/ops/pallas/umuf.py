@@ -76,7 +76,7 @@ def _replicated_rows(m_ref, c: int, lo: int, n_rows: int, top: int, bot: int,
 def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
                  d: int, winsize: int, th: int, hm: int, w_out: int,
                  w_true: int, a: int, m0: int, h_true: int,
-                 packed: bool = False):
+                 packed: bool = False, xwin: bool = False):
     """One batch element.  r0/u/v cover M rows [m0, m0+hm); r1p additionally
     carries d+1 context rows per side; out covers output rows [a, a+th)."""
     m = d + 1
@@ -109,44 +109,66 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
         inb = ((fx1 >= 0) & (fx1 <= w_true - 2)
                & (fy1 >= 0) & (fy1 <= h_true - 2))
 
-        l_idx = col + m + iui
-        i_a0 = jnp.clip(l_idx, 0, _LANE - 1)
-        i_b0 = jnp.clip(l_idx - _LANE, 0, _LANE - 1)
-        use_b0 = l_idx >= _LANE
-        if not packed:
-            l1 = l_idx + 1
-            i_a1 = jnp.clip(l1, 0, _LANE - 1)
-            i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
-            use_b1 = l1 >= _LANE
-
         # Displaced 5-channel sampling with per-block dead-shift skipping
         # (see ops/pallas/update_matrices.py for the scheme).
         vmin = jnp.min(v)
         vmax = jnp.max(v)
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        for s in range(-d, d + 2):
-            @pl.when((vmin < s + 1) & (vmax > s - 1))
-            def _(s=s):
-                wy = jnp.maximum(zero, one - jnp.abs(v - s))
-                for c in range(_CH):
-                    rows_a = r1p_ref[0, c, m + s:m + s + hm, pl.ds(x0, _LANE)]
-                    rows_b = r1p_ref[0, c, m + s:m + s + hm,
-                                     pl.ds(x0 + _LANE, _LANE)]
-                    ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1,
-                                              mode="promise_in_bounds")
-                    gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1,
-                                              mode="promise_in_bounds")
-                    g0 = jnp.where(use_b0, gb0, ga0)
-                    if packed:
-                        # One bf16-pair gather yields both x-neighbors.
-                        g0, g1 = unpack_pair(g0)
-                    else:
-                        ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1,
+        if xwin:
+            # Gather-free variant: the bilinear x-interpolation
+            # g0 + (g1-g0)*tu  ==  sum_t max(0, 1-|u-t|) * src[x+t], so both
+            # axes become static-shift windows with per-block dead-shift
+            # skipping -- statically-offset column slices (cheap lane
+            # rotations) + VPU fma, no DynamicGatherOp.  Exact for |u|<=d.
+            umin = jnp.min(u)
+            umax = jnp.max(u)
+            for t in range(-d, d + 2):
+                @pl.when((umin < t + 1) & (umax > t - 1))
+                def _(t=t):
+                    wx = jnp.maximum(zero, one - jnp.abs(u - t))
+                    for s in range(-d, d + 2):
+                        @pl.when((vmin < s + 1) & (vmax > s - 1))
+                        def _(s=s, t=t, wx=wx):
+                            wxy = wx * jnp.maximum(zero,
+                                                   one - jnp.abs(v - s))
+                            for c in range(_CH):
+                                rows = r1p_ref[0, c, m + s:m + s + hm,
+                                               pl.ds(x0 + m + t, _LANE)]
+                                acc_ref[c] += wxy * rows
+        else:
+            l_idx = col + m + iui
+            i_a0 = jnp.clip(l_idx, 0, _LANE - 1)
+            i_b0 = jnp.clip(l_idx - _LANE, 0, _LANE - 1)
+            use_b0 = l_idx >= _LANE
+            if not packed:
+                l1 = l_idx + 1
+                i_a1 = jnp.clip(l1, 0, _LANE - 1)
+                i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
+                use_b1 = l1 >= _LANE
+            for s in range(-d, d + 2):
+                @pl.when((vmin < s + 1) & (vmax > s - 1))
+                def _(s=s):
+                    wy = jnp.maximum(zero, one - jnp.abs(v - s))
+                    for c in range(_CH):
+                        rows_a = r1p_ref[0, c, m + s:m + s + hm,
+                                         pl.ds(x0, _LANE)]
+                        rows_b = r1p_ref[0, c, m + s:m + s + hm,
+                                         pl.ds(x0 + _LANE, _LANE)]
+                        ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1,
                                                   mode="promise_in_bounds")
-                        gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1,
+                        gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1,
                                                   mode="promise_in_bounds")
-                        g1 = jnp.where(use_b1, gb1, ga1)
-                    acc_ref[c] += wy * (g0 + (g1 - g0) * tu)
+                        g0 = jnp.where(use_b0, gb0, ga0)
+                        if packed:
+                            # One bf16-pair gather yields both x-neighbors.
+                            g0, g1 = unpack_pair(g0)
+                        else:
+                            ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1,
+                                                      mode="promise_in_bounds")
+                            gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1,
+                                                      mode="promise_in_bounds")
+                            g1 = jnp.where(use_b1, gb1, ga1)
+                        acc_ref[c] += wy * (g0 + (g1 - g0) * tu)
 
         r00 = r0_ref[0, 0, :, x0:x0 + _LANE]
         r01 = r0_ref[0, 1, :, x0:x0 + _LANE]
@@ -212,7 +234,7 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
 
 def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
                a: int, m0: int, h_true: int, w: int, interpret: bool,
-               packed: bool = False):
+               packed: bool = False, xwin: bool = False):
     b, c, hm, _ = r0_t.shape
     m = d + 1
     w_out = _round_up(w, _LANE)
@@ -230,7 +252,7 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
     out = pl.pallas_call(
         functools.partial(_umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
                           w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
-                          packed=packed),
+                          packed=packed, xwin=xwin),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, _CH, hm, w_out), lambda bb: (bb, 0, 0, 0),
@@ -256,11 +278,12 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("max_displacement", "winsize", "interpret",
-                                    "packed"))
+                                    "packed", "xwin"))
 def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
                     u: jnp.ndarray, v: jnp.ndarray,
                     max_displacement: int, winsize: int,
-                    interpret: bool = False, packed: bool = False):
+                    interpret: bool = False, packed: bool = False,
+                    xwin: bool = False):
     """Channel-first fused iteration.  r0, r1: (B, 5, H, W); u, v: (B, H, W)
     -> flow (B, 2, H, W).  Row-tiled with exact M-row context."""
     b, c, h, w = r0.shape
@@ -279,7 +302,7 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
             r0[:, :, m0:m1], r1p_plane[:, :, m0:m1 + 2 * m],
             u[:, m0:m1], v[:, m0:m1],
             d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
-            interpret=interpret, packed=packed))
+            interpret=interpret, packed=packed, xwin=xwin))
     if len(outs) == 1:
         return outs[0]
     return jnp.concatenate(outs, axis=2)
@@ -287,7 +310,8 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
 
 def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                 max_displacement: int, winsize: int,
-                interpret: bool = False, packed: bool = False) -> jnp.ndarray:
+                interpret: bool = False, packed: bool = False,
+                xwin: bool = False) -> jnp.ndarray:
     """Fused Farneback iteration, channels-last API.
 
     r0, r1: (..., H, W, 5) polynomial expansions; flow: (..., H, W, 2).
@@ -303,6 +327,6 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     u = flow[..., 0].reshape((-1, h, w))
     v = flow[..., 1].reshape((-1, h, w))
     f = _umuf_pallas_cf(r0cf, r1cf, u, v, max_displacement, winsize, interpret,
-                        packed)
+                        packed, xwin)
     f = f.reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)

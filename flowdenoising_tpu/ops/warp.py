@@ -117,7 +117,7 @@ def displace_sample(src: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     if sampler == "auto":
         from flowdenoising_tpu.ops.pallas.sample import pallas_supported
         sampler = "pallas" if pallas_supported() else "windowed"
-    if sampler == "pallas":
+    if sampler in ("pallas", "pallas_xwin"):
         from flowdenoising_tpu.ops.pallas.sample import bilinear_displace_pallas
         return bilinear_displace_pallas(src, u, v, max_displacement)
     if has_channels:

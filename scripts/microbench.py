@@ -91,8 +91,14 @@ def main():
 
         r0 = jax.jit(lambda x: poly_expand(x, cfg.poly_n, cfg.poly_sigma))(img)
         r1 = r0 + 0.01
-        flow0 = jnp.asarray(
-            rng.uniform(-1, 1, size=(n, hk, wk, 2)).astype(np.float32))
+        # Smooth flow field, amplitude ~0.8 px: representative of real
+        # post-aggregation flows (a per-pixel-random field would defeat the
+        # kernels' per-block dead-shift skipping, which real flows enable).
+        yy, xx = np.mgrid[0:hk, 0:wk].astype(np.float32)
+        ph = rng.uniform(0, 2 * np.pi, size=(n, 1, 1)).astype(np.float32)
+        fu = 0.8 * np.sin(2 * np.pi * xx / 40.0 + ph)
+        fv = 0.8 * np.cos(2 * np.pi * yy / 40.0 + ph)
+        flow0 = jnp.asarray(np.stack([fu, fv], axis=-1))
 
         t_um = timed_scan(
             lambda f, a, b_: update_matrices(a, b_, f, d, cfg.sampler)[..., :2] * 1e-3,
@@ -120,11 +126,15 @@ def main():
                     lambda f, a, b_: umuf_pallas(a, b_, f, d, cfg.winsize,
                                                  packed=True),
                     flow0, r0, r1)
+                t_xwin = timed_scan(
+                    lambda f, a, b_: umuf_pallas(a, b_, f, d, cfg.winsize,
+                                                 xwin=True),
+                    flow0, r0, r1)
             else:
-                t_fused = t_packed = float("nan")
+                t_fused = t_packed = t_xwin = float("nan")
         except Exception as e:
             print("fused kernel failed:", e)
-            t_fused = t_packed = float("nan")
+            t_fused = t_packed = t_xwin = float("nan")
 
         if k > 0:
             t_rz = timed_scan(
@@ -139,7 +149,7 @@ def main():
         print(f"L{k} {hk:4d}x{wk:<4d} batch {n}: polyexp {t_pe*1e3:7.2f}ms  "
               f"UM {t_um*1e3:7.2f}ms  UF {t_uf*1e3:7.2f}ms  "
               f"UM+UF {t_umuf*1e3:7.2f}ms  fused {t_fused*1e3:7.2f}ms  "
-              f"packed {t_packed*1e3:7.2f}ms  "
+              f"packed {t_packed*1e3:7.2f}ms  xwin {t_xwin*1e3:7.2f}ms  "
               f"resize {t_rz*1e3:6.2f}ms  -> "
               f"contrib {lvl:6.2f}s (UM {c_um*t_um:5.2f}s UF {c_uf*t_uf:5.2f}s)")
 

@@ -89,3 +89,22 @@ def test_iterated_application_matches_level_loop():
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_xwin_matches_gather_path():
+    # The static-shift-window sampling variant is mathematically identical
+    # to the lane-gather path (bilinear hat decomposition); outputs must
+    # agree to f32 rounding.
+    R0, R1, flow = _setup(b=2, h=24, w=40, seed=8, flow_scale=1.5)
+    ref = np.asarray(U.umuf_pallas(R0, R1, flow, 4, 5, interpret=True))
+    out = np.asarray(U.umuf_pallas(R0, R1, flow, 4, 5, interpret=True,
+                                   xwin=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_xwin_large_flow_clamp():
+    R0, R1, flow = _setup(b=1, h=20, w=36, seed=9, flow_scale=6.0)
+    ref = np.asarray(U.umuf_pallas(R0, R1, flow, 3, 5, interpret=True))
+    out = np.asarray(U.umuf_pallas(R0, R1, flow, 3, 5, interpret=True,
+                                   xwin=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-5)
