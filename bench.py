@@ -95,7 +95,11 @@ def main():
     mode = os.environ.get("BENCH_MODE", "of")
     baseline_z = int(os.environ.get("BENCH_BASELINE_Z", "4"))
     precision = os.environ.get("BENCH_PRECISION", "float32")
-    tap_flow = os.environ.get("BENCH_TAP_FLOW", "solve")
+    # Default tap mode is "compose" (adjacent-pair solves + flow-field
+    # composition): output quality matches the per-tap-solve parity mode to
+    # within 0.1 dB PSNR-vs-clean on the QUALITY.md evaluation while running
+    # ~4x faster.  BENCH_TAP_FLOW=solve benches the reference-parity path.
+    tap_flow = os.environ.get("BENCH_TAP_FLOW", "compose")
     sigma = 2.0
     levels, winsize = 3, 5
 
