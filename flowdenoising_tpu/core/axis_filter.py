@@ -214,12 +214,29 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
 
         acc0 = vol * jnp.asarray(taps[ks2], dtype)
 
+        fused_step = False
+        if not refine and d is not None and flow_cfg.sampler in (
+                "auto", "pallas", "pallas_xwin"):
+            from flowdenoising_tpu.ops.pallas.sample import pallas_supported
+            fused_step = pallas_supported()
+
         def body_of(adj, adj_shift):
             def body(carry, xs):
                 flow, acc = carry
                 start, weight = xs
                 link = jax.lax.dynamic_slice_in_dim(
                     adj, start + adj_shift, n, axis=0)
+                neighbor = jax.lax.dynamic_slice_in_dim(padded, start, n, axis=0)
+                if fused_step:
+                    # Whole tap step in one Pallas program (link warp, flow
+                    # update, neighbor warp, fma) -- ops/pallas/compose.py.
+                    from flowdenoising_tpu.ops.pallas.compose import (
+                        compose_tap_pallas)
+                    flow, acc = compose_tap_pallas(
+                        link.astype(jnp.float32), flow.astype(jnp.float32),
+                        neighbor.astype(jnp.float32), acc.astype(jnp.float32),
+                        weight, d)
+                    return (flow.astype(dtype), acc.astype(dtype)), None
                 link_cf = jnp.moveaxis(link, -1, -3)
                 warped_link = displace_sample(
                     link_cf, flow[..., 0], flow[..., 1], d, flow_cfg.sampler)
@@ -230,7 +247,6 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
                                         flow_cfg.sampler, packed=packed)
                     flow = update_flow(m, flow_cfg.winsize, flow_cfg.sampler)
                 flow = flow.astype(dtype)
-                neighbor = jax.lax.dynamic_slice_in_dim(padded, start, n, axis=0)
                 warped = warp_slices(neighbor, flow, d, flow_cfg.sampler)
                 acc = acc + (warped * weight).astype(dtype)
                 return (flow, acc), None
