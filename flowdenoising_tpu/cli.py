@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "adjacent pairs only and chain flow fields (~8x fewer "
                         "solves); 'compose_refine' adds one full-res Farneback "
                         "iteration per tap")
+    p.add_argument("--symmetric_adjacent", action="store_true",
+                   help="Compose modes: approximate backward chain links as "
+                        "negated forward fields (halves the adjacent solves; "
+                        "first-order exact for sub-pixel adjacent motion)")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="Persist the volume after each completed axis pass here and "
                         "resume from the last completed pass on restart")
@@ -114,6 +118,7 @@ def main(argv=None) -> int:
             dtype=args.dtype,
             precision=args.precision,
             tap_mode=args.tap_flow,
+            symmetric_adjacent=args.symmetric_adjacent,
         ),
         slab_size=args.slab_size,
     )

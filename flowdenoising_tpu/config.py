@@ -85,6 +85,12 @@ class FlowConfig:
     # displacements) applies; smaller bounds shrink the sampling halo and
     # shift window of every solve iteration.  None reuses max_displacement.
     adjacent_displacement: int | None = 4
+    # Compose modes only: derive the backward chain links as the negated
+    # forward fields (b_k ~ -a_k) instead of solving the reverse direction,
+    # halving the solve iterations.  First-order exact for small adjacent
+    # motion (error O(|a|^2 * flow gradient)); quality impact measured in
+    # QUALITY.md.
+    symmetric_adjacent: bool = False
 
     def clamped_levels(self, height: int, width: int) -> int:
         """Number of pyramid levels actually used for an image size.

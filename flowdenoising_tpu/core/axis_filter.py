@@ -208,7 +208,11 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
         # a[k]: flow target slice k -> reference k+1 (forward chain link);
         # b[k]: flow target slice k+1 -> reference k (backward chain link).
         adj_fwd = flow_from_pyramids(lo, hi, adj_cfg, None).astype(dtype)
-        adj_bwd = flow_from_pyramids(hi, lo, adj_cfg, None).astype(dtype)
+        if flow_cfg.symmetric_adjacent:
+            # First-order inverse of the forward field (small-motion regime).
+            adj_bwd = -adj_fwd
+        else:
+            adj_bwd = flow_from_pyramids(hi, lo, adj_cfg, None).astype(dtype)
         r_full = r_levels[0] if refine else None
         r0_int = r_full[ks2:ks2 + n] if refine else None
 

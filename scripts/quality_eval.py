@@ -72,6 +72,8 @@ def main():
         ("tpu f32 compose_refine", dict(tap_mode="compose_refine")),
         ("tpu bf16 compose (fastest)", dict(tap_mode="compose",
                                             precision="bfloat16")),
+        ("tpu f32 compose symmetric", dict(tap_mode="compose",
+                                           symmetric_adjacent=True)),
     ]
     v = jax.device_put(jnp.asarray(noisy))
     for name, over in configs:

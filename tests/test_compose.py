@@ -82,3 +82,18 @@ def test_composed_denoises():
     err_out = float(((out - clean) ** 2).mean())
     err_in = float(((noisy - clean) ** 2).mean())
     assert err_out < 0.5 * err_in, (err_out, err_in)
+
+
+def test_symmetric_adjacent_close():
+    # Negated-forward backward links stay close to the two-solve compose
+    # output in the small-motion regime.
+    vol = make_blob_volume(10, 36, 36, seed=9, drift=0.4)
+    base = np.asarray(denoise(vol, _cfg("compose")))
+    cfg = FilterConfig(
+        sigma=(1.0,) * 3, boundary=Boundary.WRAP,
+        flow=FlowConfig(levels=1, winsize=5, use_initial_flow=True,
+                        tap_mode="compose", symmetric_adjacent=True))
+    out = np.asarray(denoise(vol, cfg))
+    assert np.isfinite(out).all()
+    p = _psnr(base, out)
+    assert p > 35, p
