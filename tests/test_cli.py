@@ -47,6 +47,20 @@ def test_cli_of_tiff(tmp_path):
     assert np.isfinite(out).all()
 
 
+def test_cli_fast_modes(tmp_path):
+    vol = make_blob_volume(6, 32, 32, seed=13)
+    src = tmp_path / "in.tif"
+    dst = tmp_path / "out.tif"
+    write_tiff(src, vol.astype(np.float32))
+    rc = main(["-i", str(src), "-o", str(dst), "-s", "0.5", "-l", "0",
+               "--tap_flow", "compose", "--symmetric_adjacent",
+               "--precision", "bfloat16"])
+    assert rc == 0
+    out = read_tiff(dst)
+    assert out.shape == vol.shape
+    assert np.isfinite(out).all()
+
+
 def test_cli_fingerprint(capsys, tmp_path):
     vol = make_blob_volume(4, 16, 16, seed=13)
     src = tmp_path / "in.mrc"

@@ -79,3 +79,17 @@ def test_sharded_uneven_mixed_divisibility():
     single = np.asarray(gaussian_denoise(vol, cfg.sigma, cfg.boundary))
     sharded = np.asarray(denoise_sharded(vol, cfg, mesh=make_mesh(8)))
     np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+def test_sharded_compose_matches_single():
+    # Compose tap mode under shard_map: adjacent links are computed on each
+    # shard's halo-extended local stack, so results must match the
+    # single-device composed pass.
+    vol = make_blob_volume(16, 24, 16, seed=12)
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=Boundary.WRAP,
+                       flow=FlowConfig(levels=0, winsize=5,
+                                       tap_mode="compose"))
+    single = np.asarray(denoise(vol, cfg))
+    sharded = np.asarray(denoise_sharded(vol, cfg, mesh=make_mesh(8)))
+    err = np.abs(sharded - single)
+    assert err.max() < 5e-3, err.max()
