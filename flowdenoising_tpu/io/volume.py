@@ -11,7 +11,7 @@ import os
 
 import numpy as np
 
-from flowdenoising_tpu.io.mrc import read_mrc, write_mrc
+from flowdenoising_tpu.io.mrc import read_mrc, read_mrc_f32, write_mrc
 from flowdenoising_tpu.io.tiff import read_tiff, write_tiff
 
 
@@ -27,18 +27,37 @@ def is_mrc_output(path) -> bool:
     return _ext(path) in ("mrc", "MRC")
 
 
-def read_volume(path: str | os.PathLike, memory_map: bool = False) -> np.ndarray:
+def read_volume(path: str | os.PathLike, memory_map: bool = False,
+                as_f32: bool = False) -> np.ndarray:
     """Read a volume as (Z, Y, X).  MRC keeps its stored dtype (like
-    mrcfile.open(...).data); TIFF is cast to float32 (flowdenoising.py:475)."""
+    mrcfile.open(...).data); TIFF is cast to float32 (flowdenoising.py:475).
+
+    ``as_f32`` requests a float32 array directly; for MRC this takes the
+    native libfdio fused decode/convert path when built (one copy, threaded
+    conversion) instead of NumPy read-then-astype.
+    """
     if is_mrc_input(path):
+        if as_f32 and not memory_map:
+            return read_mrc_f32(path)
         data, _ = read_mrc(path, memory_map=memory_map)
-        return data
-    return read_tiff(path).astype(np.float32)
+        return data.astype(np.float32) if as_f32 and data.dtype != np.float32 else data
+    data = read_tiff(path).astype(np.float32)
+    return data
 
 
-def write_volume(path: str | os.PathLike, data: np.ndarray) -> None:
-    """Write a volume; MRC as float32 (flowdenoising.py:544), TIFF as float32."""
+def write_volume(path: str | os.PathLike, data: np.ndarray,
+                 quantize: bool = False) -> None:
+    """Write a volume; MRC as float32 (flowdenoising.py:544).
+
+    TIFF: float32 by default (main-CLI semantics).  ``quantize`` applies the
+    sequential variant's integer output quantization -- uint8 when
+    max < 256 else uint16 (/root/reference/src/flowdenoising_sequential.py:566-571).
+    """
+    data = np.asarray(data)
     if is_mrc_output(path):
         write_mrc(path, np.asarray(data, dtype=np.float32))
+    elif quantize:
+        dt = np.uint8 if np.max(data) < 256 else np.uint16
+        write_tiff(path, data.astype(dt))
     else:
         write_tiff(path, np.asarray(data, dtype=np.float32))

@@ -83,3 +83,75 @@ def test_mrc_interop_with_cv2_style_volume(tmp_path):
     back, hdr = read_mrc(p)
     assert hdr.mode == 1
     np.testing.assert_array_equal(back, vol)
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.int32, np.float64, np.int8])
+def test_tiff_signed_roundtrip(tmp_path, dtype):
+    # int16 pages must come back int16, not PIL's silent int32 promotion.
+    r = np.random.default_rng(5)
+    info = np.iinfo(dtype) if np.issubdtype(dtype, np.integer) else None
+    if info:
+        vol = r.integers(info.min, info.max, size=(4, 9, 11)).astype(dtype)
+    else:
+        vol = r.normal(size=(4, 9, 11)).astype(dtype)
+    path = tmp_path / "s.tif"
+    write_tiff(path, vol)
+    back = read_tiff(path)
+    assert back.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_tiff_single_page(tmp_path):
+    img = np.arange(20, dtype=np.uint16).reshape(4, 5)
+    write_tiff(tmp_path / "p.tif", img)
+    back = read_tiff(tmp_path / "p.tif")
+    assert back.shape == (4, 5) and back.dtype == np.uint16
+    np.testing.assert_array_equal(back, img)
+
+
+def test_tiff_pil_interop(tmp_path):
+    # Files our codec writes must open in a stock reader, and PIL-written
+    # files must read through the fallback path.
+    from PIL import Image
+    vol = np.random.default_rng(6).integers(0, 255, size=(3, 8, 9)).astype(np.uint8)
+    write_tiff(tmp_path / "ours.tif", vol)
+    img = Image.open(tmp_path / "ours.tif")
+    pages = []
+    for i in range(3):
+        img.seek(i)
+        pages.append(np.asarray(img))
+    np.testing.assert_array_equal(np.stack(pages), vol)
+
+    frames = [Image.fromarray(vol[i]) for i in range(3)]
+    frames[0].save(tmp_path / "pil.tif", save_all=True,
+                   append_images=frames[1:], format="TIFF", compression="tiff_lzw")
+    back = read_tiff(tmp_path / "pil.tif")  # compressed -> PIL fallback
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_tiff_quantized_output(tmp_path):
+    # Reference sequential variant's quantized write: uint8 if max < 256
+    # else uint16 (flowdenoising_sequential.py:566-571).
+    v8 = np.random.default_rng(7).uniform(0, 200, size=(3, 6, 6)).astype(np.float32)
+    write_volume(tmp_path / "q8.tif", v8, quantize=True)
+    assert read_tiff(tmp_path / "q8.tif").dtype == np.uint8
+    np.testing.assert_array_equal(read_tiff(tmp_path / "q8.tif"), v8.astype(np.uint8))
+
+    v16 = v8 * 50
+    write_volume(tmp_path / "q16.tif", v16, quantize=True)
+    assert read_tiff(tmp_path / "q16.tif").dtype == np.uint16
+    np.testing.assert_array_equal(read_tiff(tmp_path / "q16.tif"), v16.astype(np.uint16))
+
+    # MRC output ignores quantize (reference always writes float32 MRC)
+    write_volume(tmp_path / "q.mrc", v16, quantize=True)
+    _, hdr = read_mrc(tmp_path / "q.mrc")
+    assert hdr.mode == 2
+
+
+def test_read_volume_as_f32(tmp_path):
+    # as_f32 requests the fused native decode/convert path (CLI data path).
+    vol = (np.random.default_rng(8).normal(size=(3, 5, 7)) * 500).astype(np.int16)
+    write_mrc(tmp_path / "i16.mrc", vol)
+    out = read_volume(tmp_path / "i16.mrc", as_f32=True)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, vol.astype(np.float32))
