@@ -119,13 +119,19 @@ def _sharded_pass(padded_pass_fn, mesh: Mesh, vol: jnp.ndarray, taps,
 
 def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
                     n_devices: int | None = None, mesh: Mesh | None = None,
-                    jit: bool = True):
+                    jit: bool = True, start_pass: int = 0, mean_val=None,
+                    on_pass=None):
     """Slice-sharded Z->Y->X denoise over a 1-D device mesh.
 
     Axes need not divide the device count: non-divisible passes materialize
     ks2 true boundary-context slices per side, align-pad to the mesh, and
     crop the extra outputs (``_pass_extent``), so any volume shape runs on
     the full mesh as long as each padded shard covers one halo.
+
+    ``start_pass``/``mean_val``/``on_pass`` mirror pipeline.denoise: each
+    axis pass is its own jitted program, and ``on_pass(i, volume)`` fires at
+    the pass boundary with the (still device-sharded) canonical-layout
+    volume -- enabling checkpoint/resume and progress on multi-device runs.
     """
     kernels = get_gaussian_kernels(cfg.sigma) if kernels is None else kernels
     vol = jnp.asarray(vol, dtype=jnp.float32)
@@ -142,37 +148,35 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
     else:
         padded_pass = gaussian_pass_padded
 
-    def run(v):
-        mean_val = jnp.mean(v) if cfg.boundary is Boundary.MEAN else None
-        out = v
-        for (fwd_t, inv_t), taps in zip(_axis_views(), kernels):
-            ks2 = len(taps) // 2
-            t = jnp.transpose(out, fwd_t)
-            n = t.shape[0]
-            ext = _pass_extent(n, ks2, n_dev)
-            if ext != n:
-                # Boundary-extended stack: the global wrap seam of the ring
-                # now only feeds outputs that get cropped, so the pass runs
-                # with plain ring halos (WRAP) regardless of cfg.boundary.
-                t = pad_stack(t, ks2, cfg.boundary, mean_val)
-                extra = ext - t.shape[0]
-                if extra:
-                    tail = jnp.broadcast_to(t[-1:], (extra,) + t.shape[1:])
-                    t = jnp.concatenate([t, tail], axis=0)
-                pass_boundary = Boundary.WRAP
-            else:
-                pass_boundary = cfg.boundary
-            # Re-shard the new leading (filtered) axis across the mesh; XLA
-            # lowers the layout change to an all-to-all over ICI.
-            t = jax.lax.with_sharding_constraint(
-                t, NamedSharding(mesh, P(AXIS, None, None)))
-            t = _sharded_pass(padded_pass, mesh, t, taps, pass_boundary,
-                              mean_val)
-            if ext != n:
-                t = jax.lax.slice_in_dim(t, ks2, ks2 + n, axis=0)
-            out = jnp.transpose(t, inv_t)
-        return out
+    def one_pass(v, mv, pass_index, taps):
+        fwd_t, inv_t = _axis_views()[pass_index]
+        mean = mv if cfg.boundary is Boundary.MEAN else None
+        ks2 = len(taps) // 2
+        t = jnp.transpose(v, fwd_t)
+        n = t.shape[0]
+        ext = _pass_extent(n, ks2, n_dev)
+        if ext != n:
+            # Boundary-extended stack: the global wrap seam of the ring
+            # now only feeds outputs that get cropped, so the pass runs
+            # with plain ring halos (WRAP) regardless of cfg.boundary.
+            t = pad_stack(t, ks2, cfg.boundary, mean)
+            extra = ext - t.shape[0]
+            if extra:
+                tail = jnp.broadcast_to(t[-1:], (extra,) + t.shape[1:])
+                t = jnp.concatenate([t, tail], axis=0)
+            pass_boundary = Boundary.WRAP
+        else:
+            pass_boundary = cfg.boundary
+        # Re-shard the new leading (filtered) axis across the mesh; XLA
+        # lowers the layout change to an all-to-all over ICI.
+        t = jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, P(AXIS, None, None)))
+        t = _sharded_pass(padded_pass, mesh, t, taps, pass_boundary, mean)
+        if ext != n:
+            t = jax.lax.slice_in_dim(t, ks2, ks2 + n, axis=0)
+        return jnp.transpose(t, inv_t)
 
+    io_sharding = None
     if jit:
         # device_put/jit shardings require divisibility; shard the first
         # divisible axis at ingest (the in-jit constraints re-shard each
@@ -184,5 +188,19 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
                 break
         io_sharding = NamedSharding(mesh, spec)
         vol = jax.device_put(vol, io_sharding)
-        run = jax.jit(run, in_shardings=io_sharding, out_shardings=io_sharding)
-    return run(vol)
+
+    if mean_val is None and cfg.boundary is Boundary.MEAN:
+        mean_val = jnp.mean(vol)
+    mv = jnp.asarray(0.0 if mean_val is None else mean_val, jnp.float32)
+
+    out = vol
+    for i, taps in enumerate(kernels):
+        if i < start_pass:
+            continue
+        fn = functools.partial(one_pass, pass_index=i, taps=taps)
+        if jit:
+            fn = jax.jit(fn, out_shardings=io_sharding)
+        out = fn(out, mv)
+        if on_pass is not None:
+            on_pass(i, out)
+    return out
