@@ -102,7 +102,13 @@ def _cached_pass(taps_key: tuple, boundary: Boundary, flow_key, slab):
     of a cubic volume share one compiled executable (the per-pass programs
     are the dominant compile cost).  flow_key is a FlowConfig for the OF
     pass or None for the plain Gaussian pass; taps enter as a hashable
-    tuple."""
+    tuple.
+
+    The stack argument is DONATED: each pass's input buffer is dead the
+    moment the padded stack is built, and returning it to the allocator
+    mid-pass is what lets the solve-mode working set fit HBM at the
+    1024x1024x512 headline size (the pipeline only passes buffers it owns).
+    """
     taps = np.asarray(taps_key, dtype=np.float64)
 
     def one_pass(t, mv):
@@ -114,7 +120,7 @@ def _cached_pass(taps_key: tuple, boundary: Boundary, flow_key, slab):
                 return of_pass_padded(window, tp, flow_key)
         return _slabbed_pass(padded_pass, t, taps, boundary, mv, slab)
 
-    return jax.jit(one_pass)
+    return jax.jit(one_pass, donate_argnums=0)
 
 
 def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool,
@@ -139,6 +145,20 @@ def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool,
     return min(slab, -(-n // n_slabs))
 
 
+def _owned_f32(vol) -> jnp.ndarray:
+    """Float32 device array the pipeline OWNS (safe to donate to a pass).
+
+    NumPy inputs and dtype conversions already produce fresh buffers; a
+    concrete float32 jax.Array passed by the caller is copied so donation
+    never invalidates a caller-held array.  Under tracing (outer jit) the
+    copy is a no-op for XLA's buffer analysis.
+    """
+    if isinstance(vol, jax.Array) and not isinstance(
+            vol, jax.core.Tracer) and vol.dtype == jnp.float32:
+        return jnp.array(vol, copy=True)
+    return jnp.asarray(vol, dtype=jnp.float32)
+
+
 def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
                      boundary: Boundary = Boundary.WRAP,
                      slab_size: int | None = None,
@@ -146,7 +166,7 @@ def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
                      on_pass=None) -> jnp.ndarray:
     """No-OF separable 3-D Gaussian denoise (reference ``-n`` path)."""
     kernels = get_gaussian_kernels(sigma) if kernels is None else kernels
-    vol = jnp.asarray(vol, dtype=jnp.float32)
+    vol = _owned_f32(vol)
     if mean_val is None and boundary is Boundary.MEAN:
         mean_val = jnp.mean(vol)
     out = vol
@@ -165,15 +185,25 @@ def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
     return out
 
 
-def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None):
+def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
+                 window: int = 2):
     """Throughput mode: denoise a batch of equally-shaped volumes.
 
     Dispatches each volume through the same cached per-pass executables
-    without blocking between volumes, so host->HBM transfers of volume i+1
-    overlap device compute of volume i (the reference has no analogue; this
-    is BASELINE.json config 5).  Returns a list of on-device results.
+    without blocking between volumes: JAX dispatch is asynchronous, so the
+    host->HBM transfer of volume i+1 (issued by the first pass's
+    ``jnp.asarray``) is enqueued while volume i computes -- double-buffered
+    streaming at the dispatch level (the reference has no analogue; this is
+    BASELINE.json config 5).  ``window`` bounds how many volumes are in
+    flight at once so the staged inputs + working sets cannot exhaust HBM
+    at large volume sizes; with window=2 transfer of i+1 still fully
+    overlaps compute of i.  Returns a list of on-device results.
     """
-    outs = [denoise(v, cfg, kernels=kernels) for v in vols]
+    outs = []
+    for i, v in enumerate(vols):
+        outs.append(denoise(v, cfg, kernels=kernels))
+        if i >= window:
+            outs[i - window].block_until_ready()
     for o in outs:
         o.block_until_ready()
     return outs
@@ -197,7 +227,8 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
                                 start_pass=start_pass, mean_val=mean_val,
                                 on_pass=on_pass)
     kernels = get_gaussian_kernels(cfg.sigma) if kernels is None else kernels
-    vol = jnp.asarray(vol, dtype=jnp.float32)
+    vol = _owned_f32(vol)
+    vol_shape = vol.shape
     if mean_val is None and cfg.boundary is Boundary.MEAN:
         mean_val = jnp.mean(vol)
 
@@ -208,6 +239,7 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
     # position; pass i wants canonical axis i first.
     targets = [(0, 1, 2), (1, 0, 2), (2, 0, 1)]
     out = vol
+    del vol  # the pipeline owns the buffer now; keep no extra reference
     layout = (0, 1, 2)
     for i, taps in enumerate(kernels):
         if i < start_pass:
@@ -220,8 +252,8 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
 
         slab = cfg.slab_size
         if slab is None:
-            plane = [vol.shape[ax] for ax in target[1:]]
-            slab = _auto_slab(vol.shape[target[0]], plane[0], plane[1],
+            plane = [vol_shape[ax] for ax in target[1:]]
+            slab = _auto_slab(vol_shape[target[0]], plane[0], plane[1],
                               len(taps) // 2, cfg.use_flow, cfg.flow.tap_mode)
 
         # jit per pass: keeps the CLI path compiled (eager dispatch through

@@ -122,3 +122,33 @@ def test_replicate_boundary_runs():
     out = np.asarray(denoise(vol, cfg))
     assert out.shape == vol.shape
     assert np.isfinite(out).all()
+
+
+def test_donated_pass_preserves_caller_array():
+    # Pass buffers are donated (pipeline.py::_cached_pass, donate_argnums=0);
+    # a caller-held device array must be copied, not invalidated, and calling
+    # twice must give identical results (regression for the round-2 donation
+    # that makes solve mode fit HBM at 1024x1024x512).
+    import jax.numpy as jnp
+    vol = make_blob_volume(10, 32, 32, seed=6)
+    cfg = FilterConfig(sigma=(SIGMA,) * 3, flow=FlowConfig(levels=0, winsize=W))
+    dev = jnp.asarray(vol)
+    a = np.asarray(denoise(dev, cfg))
+    # caller's array is still alive and unchanged
+    np.testing.assert_allclose(np.asarray(dev), vol, atol=0)
+    b = np.asarray(denoise(dev, cfg))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_donated_slab_solve_pipeline_large_ci():
+    # Largest CI-able donated slab run in solve mode with a real pyramid:
+    # exercises the exact per-pass program shape (padded stack build ->
+    # slabbed scan -> donation) that the 1024x1024x512 headline uses.
+    vol = make_blob_volume(24, 48, 40, seed=7)
+    import dataclasses
+    cfg = FilterConfig(sigma=(SIGMA,) * 3,
+                       flow=FlowConfig(levels=2, winsize=W, min_size=8))
+    a = np.asarray(denoise(vol, cfg))
+    b = np.asarray(denoise(vol, dataclasses.replace(cfg, slab_size=7)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert np.isfinite(a).all()
