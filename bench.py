@@ -1,21 +1,32 @@
 #!/usr/bin/env python
 """Benchmark: TPU OF-compensated denoise throughput vs the CPU reference path.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mvoxel/s", "vs_baseline": N, ...}
+Prints ONE JSON line whose headline `value`/`vs_baseline` is the
+REFERENCE-PARITY mode (per-tap Farneback solves, float32 -- the exact
+semantics of /root/reference/src/flowdenoising.py:285-290), with the
+documented fast mode (adjacent-pair compose + bf16 + symmetric links; see
+QUALITY.md for its quality deltas) reported alongside under `fast`:
+
+  {"metric": ..., "value": <solve Mvox/s>, "unit": "Mvoxel/s",
+   "vs_baseline": <solve / measured cv2 single-core>,
+   "fast": {...}, "roofline": {...}}
 
 - TPU side: jit-compiled full 3-pass OF denoise (sigma=2 -> 17 taps/axis,
   levels=3, winsize=5, wrap boundary -- the reference main CLI defaults) on a
   synthetic drifting-blob volume, timed after warmup.
 - Baseline side: the reference algorithm (cv2.calcOpticalFlowFarneback +
-  cv2.remap, identical tap/chaining semantics) timed on a smaller volume of
-  the same slice extent, converted to Mvoxel/s.  The reference repo publishes
-  no numbers (BASELINE.md), so this measured oracle is the baseline.
+  cv2.remap, identical tap/chaining semantics) timed on a few slices of the
+  same plane size and converted to Mvoxel/s.  The reference repo publishes no
+  numbers (BASELINE.md) and this host exposes ONE CPU core, so the multicore
+  comparison in BASELINE.md maps through an assumed linear thread scale-up --
+  flagged in `cpu_baseline_note`.
+- Roofline: an analytic HBM-traffic model of the 3-pass program (channel
+  counts per stage x voxels) against the v5e HBM peak, so the headroom the
+  kernels still have is visible in every bench record.
 
 Env knobs: BENCH_SIZE (default 256), BENCH_BASELINE_Z (default 4; 0 skips,
-using a cached/default baseline rate), BENCH_MODE (of|gauss),
-BENCH_PRECISION (float32|bfloat16 -- the bf16 fast mode: single-pass MXU +
-packed bf16-pair sampling; parity vs f32 is documented in QUALITY.md).
+using a cached/default baseline rate), BENCH_MODE (of|gauss|batch),
+BENCH_SKIP_FAST=1 to bench only parity mode.
 """
 
 import json
@@ -24,6 +35,8 @@ import sys
 import time
 
 import numpy as np
+
+V5E_HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 
 
 def make_volume(n, h, w, seed=0):
@@ -68,7 +81,7 @@ def bench_tpu(vol, cfg):
         out = jfn(v)
         float(out[0, 0, 0])
         best = min(best, time.perf_counter() - t0)
-    return best, None
+    return best
 
 
 def bench_tpu_batch(vols, cfg):
@@ -105,52 +118,129 @@ def bench_cpu_reference(z, h, w, sigma, levels, winsize):
     return rate
 
 
+def hbm_model_bytes_per_voxel(ks2, iters, tap_mode, precision):
+    """Analytic HBM traffic per voxel for the FULL 3-pass program.
+
+    Channel-counts per stage at level 0, with the pyramid geometric factor
+    (sum of 0.25^k ~ 4/3) applied to per-level work.  f32 channels; bf16
+    halves the sampled-read traffic of the iteration.
+    """
+    taps = 2 * ks2
+    pyr = 4.0 / 3.0
+    # polynomial expansion: read image (1) + write 5ch expansion, per level
+    polyexp = (1 + 5) * pyr
+    # fused UM+UF iteration: read r0(5) + r1 sampled(5) + flow(2) -> write
+    # flow(2); per tap-solve, per iteration, per level.
+    it_read = 5 + 5 + 2
+    it = (it_read + 2) * iters * pyr
+    warp = (1 + 2 + 1)  # read neighbor + flow, write warped/acc
+    if tap_mode == "solve":
+        solves = taps
+        compose = 0.0
+    else:
+        solves = 2  # two adjacent directions over the stack
+        compose = taps * (2 + 2 + 2)  # read link+flow, write composed flow
+    per_pass = polyexp + solves * it + taps * warp + compose
+    scale = 0.75 if precision == "bfloat16" else 1.0
+    return 3 * per_pass * 4 * scale
+
+
 def main():
     from flowdenoising_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     size = int(os.environ.get("BENCH_SIZE", "256"))
     mode = os.environ.get("BENCH_MODE", "of")
     baseline_z = int(os.environ.get("BENCH_BASELINE_Z", "4"))
-    precision = os.environ.get("BENCH_PRECISION", "float32")
-    # Default tap mode is "compose" (adjacent-pair solves + flow-field
-    # composition): output quality matches the per-tap-solve parity mode to
-    # within 0.1 dB PSNR-vs-clean on the QUALITY.md evaluation while running
-    # ~4x faster.  BENCH_TAP_FLOW=solve benches the reference-parity path.
-    tap_flow = os.environ.get("BENCH_TAP_FLOW", "compose")
+    skip_fast = os.environ.get("BENCH_SKIP_FAST", "0") == "1"
     sigma = 2.0
     levels, winsize = 3, 5
+    ks2 = 8  # sigma=2 -> 17 taps
 
     from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
-    cfg = FilterConfig(
-        sigma=(sigma,) * 3, boundary=Boundary.WRAP, use_flow=(mode != "gauss"),
-        flow=FlowConfig(levels=levels, winsize=winsize, use_initial_flow=True,
-                        precision=precision, tap_mode=tap_flow),
-        slab_size=None)
+
+    def make_cfg(tap_flow, precision, symmetric=False):
+        return FilterConfig(
+            sigma=(sigma,) * 3, boundary=Boundary.WRAP,
+            use_flow=(mode != "gauss"),
+            flow=FlowConfig(levels=levels, winsize=winsize,
+                            use_initial_flow=True, precision=precision,
+                            tap_mode=tap_flow, symmetric_adjacent=symmetric),
+            slab_size=None)
 
     vol = make_volume(size, size, size, seed=0)
+    voxels = vol.size
+
     if mode == "batch":
+        cfg = make_cfg("compose", "bfloat16", True)
         vols = [make_volume(size, size, size, seed=s) for s in range(4)]
         dt = bench_tpu_batch(vols, cfg)
-    else:
-        dt, _ = bench_tpu(vol, cfg)
-    tpu_rate = vol.size / dt / 1e6
+        print(json.dumps({
+            "metric": f"OF denoise batch-of-4 throughput, {size}^3 "
+                      f"compose bf16 sym, sigma=2, levels=3, winsize=5",
+            "value": round(voxels / dt / 1e6, 3), "unit": "Mvoxel/s",
+            "vs_baseline": None, "tpu_seconds_per_volume": round(dt, 3)}))
+        return
+    if mode == "gauss":
+        cfg = make_cfg("solve", "float32")
+        dt = bench_tpu(vol, cfg)
+        print(json.dumps({
+            "metric": f"Gaussian denoise throughput, {size}^3 f32",
+            "value": round(voxels / dt / 1e6, 3), "unit": "Mvoxel/s",
+            "vs_baseline": None, "tpu_seconds": round(dt, 3)}))
+        return
 
-    if baseline_z > 0 and mode == "of":
-        cpu_rate = bench_cpu_reference(baseline_z, size, size, sigma, levels, winsize)
-    else:
-        cpu_rate = None
+    # --- reference-parity mode (headline) ---
+    dt_solve = bench_tpu(vol, make_cfg("solve", "float32"))
+    solve_rate = voxels / dt_solve / 1e6
+
+    # --- documented fast mode ---
+    fast = None
+    if not skip_fast:
+        dt_fast = bench_tpu(vol, make_cfg("compose", "bfloat16", True))
+        fast = {"tap_flow": "compose", "precision": "bfloat16",
+                "symmetric_adjacent": True,
+                "value": round(voxels / dt_fast / 1e6, 3),
+                "tpu_seconds": round(dt_fast, 3)}
+
+    cpu_rate = None
+    if baseline_z > 0:
+        cpu_rate = bench_cpu_reference(baseline_z, size, size, sigma, levels,
+                                       winsize)
+    if fast is not None and cpu_rate:
+        fast["vs_baseline"] = round(fast["value"] / cpu_rate, 2)
+
+    # --- roofline ---
+    bpv_solve = hbm_model_bytes_per_voxel(ks2, 3, "solve", "float32")
+    achieved = voxels * bpv_solve / dt_solve / 1e9
+    roofline = {
+        "hbm_model_bytes_per_voxel_solve": round(bpv_solve, 1),
+        "achieved_GBps_solve": round(achieved, 1),
+        "hbm_roofline_pct_solve": round(100.0 * achieved / V5E_HBM_GBPS, 1),
+    }
+    if fast is not None:
+        bpv_fast = hbm_model_bytes_per_voxel(ks2, 3, "compose", "bfloat16")
+        ach_f = voxels * bpv_fast / fast["tpu_seconds"] / 1e9
+        roofline.update({
+            "hbm_model_bytes_per_voxel_fast": round(bpv_fast, 1),
+            "achieved_GBps_fast": round(ach_f, 1),
+            "hbm_roofline_pct_fast": round(100.0 * ach_f / V5E_HBM_GBPS, 1),
+        })
 
     result = {
-        "metric": f"{'Gaussian' if mode == 'gauss' else 'OF'}"
-                  f"{' batch-of-4' if mode == 'batch' else ''} denoise throughput, "
-                  f"{size}^3 {'bf16-fast' if precision == 'bfloat16' else 'f32'}"
-                  f"{'' if tap_flow == 'solve' else ' ' + tap_flow}, "
-                  f"sigma=2 (17 taps/axis), levels={levels}, winsize={winsize}",
-        "value": round(tpu_rate, 3),
+        "metric": f"OF denoise throughput, {size}^3, REFERENCE-PARITY mode "
+                  f"(per-tap solve, f32), sigma=2 (17 taps/axis), "
+                  f"levels={levels}, winsize={winsize}",
+        "value": round(solve_rate, 3),
         "unit": "Mvoxel/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2) if cpu_rate else None,
-        "tpu_seconds": round(dt, 3),
+        "vs_baseline": round(solve_rate / cpu_rate, 2) if cpu_rate else None,
+        "tpu_seconds": round(dt_solve, 3),
         "cpu_reference_Mvoxel_s": round(cpu_rate, 4) if cpu_rate else None,
+        "cpu_baseline_note": "cv2 reference measured on 1 core of this host "
+                             f"over {baseline_z} slices; multicore figures in "
+                             "BASELINE.md assume linear thread scaling "
+                             "(host has a single core)",
+        "fast": fast,
+        "roofline": roofline,
     }
     print(json.dumps(result))
 

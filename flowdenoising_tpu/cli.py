@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="Persist the volume after each completed axis pass here and "
                         "resume from the last completed pass on restart")
+    p.add_argument("--tiff_quantize", action="store_true",
+                   help="Quantize TIFF output like the reference sequential "
+                        "variant: uint8 if max < 256 else uint16 "
+                        "(flowdenoising_sequential.py:566-571)")
     return p
 
 
@@ -130,7 +134,9 @@ def main(argv=None) -> int:
     from flowdenoising_tpu.io.volume import read_volume, write_volume
 
     with prof.phase("read"):
-        vol = read_volume(args.input, memory_map=args.memory_map)
+        # as_f32 takes the native libfdio fused decode/convert path for MRC
+        # (the pipeline always consumes float32).
+        vol = read_volume(args.input, memory_map=args.memory_map, as_f32=True)
     log_volume_stats(str(args.input), vol)
 
     kernels = get_gaussian_kernels(sigma)
@@ -162,10 +168,12 @@ def main(argv=None) -> int:
             if ckpt is not None:
                 ckpt.save_pass(i, v)
 
-        if n_devices > 1 and ckpt is None:
+        if n_devices > 1:
             from flowdenoising_tpu.parallel.mesh import denoise_sharded
             filtered = denoise_sharded(start_vol, cfg, kernels=kernels,
-                                       n_devices=n_devices)
+                                       n_devices=n_devices,
+                                       start_pass=start_pass,
+                                       mean_val=mean_val, on_pass=on_pass)
         else:
             from flowdenoising_tpu.core.pipeline import denoise
             filtered = denoise(start_vol, cfg, kernels=kernels,
@@ -178,9 +186,16 @@ def main(argv=None) -> int:
     log_volume_stats(str(args.output), filtered)
 
     with prof.phase("write"):
-        write_volume(args.output, filtered)
+        write_volume(args.output, filtered, quantize=args.tiff_quantize)
 
     prof.report()
+
+    verbosity = args.verbosity if isinstance(args.verbosity, int) else 0
+    if verbosity >= 2:
+        # Per-stage device-time split (successor of the reference's
+        # OFE/warping/convolution report, flowdenoising_GPU.py:760-766).
+        from flowdenoising_tpu.utils.stage_report import device_stage_report
+        device_stage_report(np.asarray(vol).shape, cfg, kernels)
     return 0
 
 
