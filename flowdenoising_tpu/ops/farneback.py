@@ -37,6 +37,7 @@ between all Z-adjacent slice pairs of a volume at once.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -236,10 +237,21 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
             # instead of lane gathers (faster for smooth flows).
             from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas
             xwin = cfg.sampler == "pallas_xwin"
+            # dyn: y-shift loop with a dynamic trip count over the block's
+            # true active range (@pl.when bodies execute regardless of
+            # their predicate on Mosaic, so the static form pays for all
+            # 2d+2 shifts).  mxu: phase-2 box aggregation as banded 0/1
+            # matmuls on the MXU, fully hidden under the sampling phase.
+            # Together ~1.5x per iteration on v5e (scripts/iter_probe.py).
+            # FDTPU_UMUF_OPTS overrides for A/B benchmarking ("base",
+            # "dyn", "mxu", "dyn,mxu").
+            opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu").split(",")
+            dyn = "dyn" in opts and not xwin
+            mxu = "mxu" in opts
             for _ in range(cfg.iterations):
                 flow = umuf_pallas(r0, r1, flow.astype(r0.dtype), d,
                                    cfg.winsize, packed=packed and not xwin,
-                                   xwin=xwin)
+                                   xwin=xwin, dyn=dyn, mxu=mxu)
             return flow
     m = update_matrices(r0, r1, flow, d, cfg.sampler, packed=packed)
     for i in range(cfg.iterations):

@@ -50,11 +50,12 @@ def umuf_fits_vmem(th: int, w: int, d: int, winsize: int) -> bool:
     hm = th + 2 * r
     w_out = _round_up(w, _LANE)
     w_src = w_out + _LANE
-    needed = 4 * (_CH * (hm + 2 * m) * w_src      # r1 padded
+    needed = 4 * (_CH * (hm + 2 * m + 8) * w_src  # r1 padded (+8 dyn rows)
                   + _CH * hm * w_out              # r0
                   + 2 * hm * w_out                # u, v
                   + _CH * hm * w_out              # M scratch
                   + _CH * hm * _LANE              # sampling accumulator
+                  + th * hm + min(w_out, 512) ** 2  # mxu box matrices
                   + 2 * th * w_out)               # flow out
     return needed <= _VMEM_BUDGET_BYTES
 
@@ -73,12 +74,27 @@ def _replicated_rows(m_ref, c: int, lo: int, n_rows: int, top: int, bot: int,
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else body
 
 
-def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
+def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
                  d: int, winsize: int, th: int, hm: int, w_out: int,
                  w_true: int, a: int, m0: int, h_true: int,
-                 packed: bool = False, xwin: bool = False):
+                 packed: bool = False, xwin: bool = False,
+                 dyn: bool = False, mxu: bool = False,
+                 _phases: str = "both"):
     """One batch element.  r0/u/v cover M rows [m0, m0+hm); r1p additionally
-    carries d+1 context rows per side; out covers output rows [a, a+th)."""
+    carries d+1 context rows per side; out covers output rows [a, a+th).
+
+    ``dyn``: the y-shift loop runs as a lax.fori_loop over the block's TRUE
+    active shift range (dynamic trip count) instead of a statically unrolled
+    predicated loop -- @pl.when bodies execute regardless of their runtime
+    predicate on Mosaic, so the static form pays for all 2d+2 shifts.
+    ``mxu``: phase 2's box aggregation runs as two banded 0/1 matmuls
+    (Bh @ M @ Bw) on the MXU, border replication folded into the band
+    weights, instead of ~50 full-plane VPU shift-adds.
+    """
+    if mxu:
+        bh_ref, bw_ref, out_ref, m_ref, acc_ref = rest
+    else:
+        out_ref, m_ref, acc_ref = rest
     m = d + 1
     r = winsize // 2
     n_blk = w_out // _LANE
@@ -93,7 +109,16 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
     row_w = _edge_weight(row, h_true)
 
     # ---- phase 1: M per x-block, written to VMEM scratch ----
-    for blk in range(n_blk):
+    if _phases == "none":
+        # probe mode: pure pipeline/DMA floor
+        out_ref[0, 0] = u_ref[0, :th, :]
+        out_ref[0, 1] = v_ref[0, :th, :]
+        return
+    if _phases == "p2":
+        # probe mode: skip sampling, fill M from r0 directly
+        for c in range(_CH):
+            m_ref[c] = r0_ref[0, c]
+    for blk in range(n_blk) if _phases != "p2" else []:
         x0 = blk * _LANE
         dx = u_ref[0, :, x0:x0 + _LANE]
         dy = v_ref[0, :, x0:x0 + _LANE]
@@ -145,31 +170,61 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
                 i_a1 = jnp.clip(l1, 0, _LANE - 1)
                 i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
                 use_b1 = l1 >= _LANE
-            for s in range(-d, d + 2):
-                @pl.when((vmin < s + 1) & (vmax > s - 1))
-                def _(s=s):
-                    wy = jnp.maximum(zero, one - jnp.abs(v - s))
-                    for c in range(_CH):
-                        rows_a = r1p_ref[0, c, m + s:m + s + hm,
-                                         pl.ds(x0, _LANE)]
-                        rows_b = r1p_ref[0, c, m + s:m + s + hm,
-                                         pl.ds(x0 + _LANE, _LANE)]
-                        ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1,
+            def _s_accum(rows_of_c, s_f):
+                wy = jnp.maximum(zero, one - jnp.abs(v - s_f))
+                for c in range(_CH):
+                    rows_a, rows_b = rows_of_c(c)
+                    ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1,
+                                              mode="promise_in_bounds")
+                    gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1,
+                                              mode="promise_in_bounds")
+                    g0 = jnp.where(use_b0, gb0, ga0)
+                    if packed:
+                        g0, g1 = unpack_pair(g0)
+                    else:
+                        ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1,
                                                   mode="promise_in_bounds")
-                        gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1,
+                        gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1,
                                                   mode="promise_in_bounds")
-                        g0 = jnp.where(use_b0, gb0, ga0)
-                        if packed:
-                            # One bf16-pair gather yields both x-neighbors.
-                            g0, g1 = unpack_pair(g0)
-                        else:
-                            ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1,
-                                                      mode="promise_in_bounds")
-                            gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1,
-                                                      mode="promise_in_bounds")
-                            g1 = jnp.where(use_b1, gb1, ga1)
-                        acc_ref[c] += wy * (g0 + (g1 - g0) * tu)
+                        g1 = jnp.where(use_b1, gb1, ga1)
+                    acc_ref[c] += wy * (g0 + (g1 - g0) * tu)
 
+            if dyn:
+                s_lo = jnp.floor(vmin).astype(jnp.int32)
+                s_hi = jnp.floor(vmax).astype(jnp.int32) + 1
+                nw = hm + 8
+
+                def s_body(sv, carry):
+                    # Mosaic requires dynamic sublane starts to be 8-aligned:
+                    # read an aligned window of hm+8 rows (r1p carries 8
+                    # extra pad rows in dyn mode) and roll the sub-8 offset
+                    # away.  No wraparound reaches rows [0, hm).
+                    base = m + sv
+                    aligned = pl.multiple_of((base // 8) * 8, 8)
+                    off = base - aligned
+                    shift = jax.lax.rem(nw - off, nw)
+
+                    def rows_of_c(c):
+                        wa = r1p_ref[0, c, pl.ds(aligned, nw),
+                                     pl.ds(x0, _LANE)]
+                        wb = r1p_ref[0, c, pl.ds(aligned, nw),
+                                     pl.ds(x0 + _LANE, _LANE)]
+                        return (pltpu.roll(wa, shift, axis=0)[:hm],
+                                pltpu.roll(wb, shift, axis=0)[:hm])
+                    _s_accum(rows_of_c, sv.astype(jnp.float32))
+                    return carry
+
+                jax.lax.fori_loop(s_lo, s_hi + 1, s_body, 0)
+            else:
+                for s in range(-d, d + 2):
+                    @pl.when((vmin < s + 1) & (vmax > s - 1))
+                    def _(s=s):
+                        def rows_of_c(c):
+                            return (r1p_ref[0, c, m + s:m + s + hm,
+                                            pl.ds(x0, _LANE)],
+                                    r1p_ref[0, c, m + s:m + s + hm,
+                                            pl.ds(x0 + _LANE, _LANE)])
+                        _s_accum(rows_of_c, jnp.float32(s))
         r00 = r0_ref[0, 0, :, x0:x0 + _LANE]
         r01 = r0_ref[0, 1, :, x0:x0 + _LANE]
         r02 = r0_ref[0, 2, :, x0:x0 + _LANE]
@@ -196,7 +251,34 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
         m_ref[4, :, x0:x0 + _LANE] = r6 * r2 + r5 * r3
 
     # ---- phase 2: box aggregation + 2x2 solve, full width ----
+    if _phases == "p1":
+        # probe mode: skip box+solve, emit two M channels as the "flow"
+        out_ref[0, 0] = m_ref[3, a - m0:a - m0 + th, :]
+        out_ref[0, 1] = m_ref[4, a - m0:a - m0 + th, :]
+        return
     inv = jnp.float32(1.0 / float(winsize * winsize))
+    if mxu:
+        # Box aggregation as two banded matmuls per channel on the MXU:
+        # sums[c] = (Bh @ M[c] @ Bw) * inv, with the border-replication
+        # multiplicities folded into the 0/1/2/3 band weights (built on the
+        # host in _box_mats).  Frees the VPU for phase 1 and replaces ~50
+        # full-plane shift-add ops with 2 matmuls per channel.
+        bh = bh_ref[...]
+        bw = bw_ref[...]
+        sums = []
+        for c in range(_CH):
+            vc = jax.lax.dot_general(
+                bh, m_ref[c], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            hc = jax.lax.dot_general(
+                vc, bw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sums.append(hc * inv)
+        g11, g12, g22, h1, h2 = sums
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        out_ref[0, 0] = (g11 * h2 - g12 * h1) * idet
+        out_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
+        return
     sums = []
     for c in range(_CH):
         vacc = None
@@ -232,38 +314,90 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref, *,
     out_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
 
 
+@functools.lru_cache(maxsize=None)
+def _box_mats(th: int, hm: int, w_out: int, w_true: int, a: int, m0: int,
+              r: int):
+    """Banded box-sum matrices with border replication folded in.
+
+    Bh (th, hm): output row i sums M plane rows clamp(a+i+o, m0, m0+hm-1)
+    over o in [-r, r].  Bw (w_out, w_out): column x sums columns
+    max(x+o, 0) for o<=0 and min-anchored at the true width for o>0
+    (columns beyond w_true hold garbage), exactly the semantics of the
+    VPU shift-add path.  Entries are small ints -- exact in bf16, so the
+    MXU's decomposed f32 matmul reproduces the f32 sums to float rounding.
+    """
+    import numpy as np
+    bh = np.zeros((th, hm), np.float32)
+    for i in range(th):
+        for o in range(-r, r + 1):
+            j = min(max(a + i + o, m0), m0 + hm - 1) - m0
+            bh[i, j] += 1.0
+    bw = np.zeros((w_out, w_out), np.float32)
+    for x in range(w_out):
+        for o in range(-r, r + 1):
+            if o <= 0:
+                x2 = max(x + o, 0)
+            else:
+                x2 = x + o if x + o < w_true else w_true - 1
+            bw[x2, x] += 1.0
+    return bh, bw
+
+
 def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
                a: int, m0: int, h_true: int, w: int, interpret: bool,
-               packed: bool = False, xwin: bool = False):
+               packed: bool = False, xwin: bool = False,
+               dyn: bool = False, mxu: bool = False,
+               _phases: str = "both"):
     b, c, hm, _ = r0_t.shape
     m = d + 1
     w_out = _round_up(w, _LANE)
+    # The dense column box matrix Bw is (w_out, w_out); beyond 512 lanes it
+    # would crowd VMEM (and the matmul grows quadratically), so wide planes
+    # fall back to the VPU shift-add phase 2.
+    mxu = mxu and w_out <= 512
     w_src = w_out + _LANE
     r1p = jnp.pad(r1_t.astype(jnp.float32),
                   ((0, 0), (0, 0), (0, 0), (m, w_src - w - m)), mode="edge")
     if packed:
         r1p = pack_pairs(r1p)
+    r1_rows = hm + 2 * m
+    if dyn:
+        # 8 throwaway rows so the 8-aligned dynamic window never overruns
+        r1p = jnp.pad(r1p, ((0, 0), (0, 0), (0, 8), (0, 0)))
+        r1_rows += 8
     pad_xy = ((0, 0), (0, 0), (0, w_out - w))
     u_p = jnp.pad(u_t.astype(jnp.float32), pad_xy)
     v_p = jnp.pad(v_t.astype(jnp.float32), pad_xy)
     r0_p = jnp.pad(r0_t.astype(jnp.float32),
                    ((0, 0), (0, 0), (0, 0), (0, w_out - w)))
 
+    in_specs = [
+        pl.BlockSpec((1, _CH, hm, w_out), lambda bb: (bb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _CH, r1_rows, w_src), lambda bb: (bb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hm, w_out), lambda bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hm, w_out), lambda bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [r0_p, r1p, u_p, v_p]
+    if mxu:
+        bh, bw = _box_mats(th, hm, w_out, w, a, m0, winsize // 2)
+        inputs += [jnp.asarray(bh), jnp.asarray(bw)]
+        in_specs += [
+            pl.BlockSpec((th, hm), lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_out, w_out), lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     out = pl.pallas_call(
         functools.partial(_umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
                           w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
-                          packed=packed, xwin=xwin),
+                          packed=packed, xwin=xwin, dyn=dyn, mxu=mxu,
+                          _phases=_phases),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, _CH, hm, w_out), lambda bb: (bb, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _CH, hm + 2 * m, w_src), lambda bb: (bb, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hm, w_out), lambda bb: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hm, w_out), lambda bb: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2, th, w_out), lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2, th, w_out), jnp.float32),
@@ -272,18 +406,19 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(r0_p, r1p, u_p, v_p)
+    )(*inputs)
     return out[:, :, :, :w]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_displacement", "winsize", "interpret",
-                                    "packed", "xwin"))
+                                    "packed", "xwin", "dyn", "mxu", "_phases"))
 def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
                     u: jnp.ndarray, v: jnp.ndarray,
                     max_displacement: int, winsize: int,
                     interpret: bool = False, packed: bool = False,
-                    xwin: bool = False):
+                    xwin: bool = False, dyn: bool = False, mxu: bool = False,
+                    _phases: str = "both"):
     """Channel-first fused iteration.  r0, r1: (B, 5, H, W); u, v: (B, H, W)
     -> flow (B, 2, H, W).  Row-tiled with exact M-row context."""
     b, c, h, w = r0.shape
@@ -302,7 +437,8 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
             r0[:, :, m0:m1], r1p_plane[:, :, m0:m1 + 2 * m],
             u[:, m0:m1], v[:, m0:m1],
             d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
-            interpret=interpret, packed=packed, xwin=xwin))
+            interpret=interpret, packed=packed, xwin=xwin, dyn=dyn, mxu=mxu,
+            _phases=_phases))
     if len(outs) == 1:
         return outs[0]
     return jnp.concatenate(outs, axis=2)
@@ -311,7 +447,8 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
 def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                 max_displacement: int, winsize: int,
                 interpret: bool = False, packed: bool = False,
-                xwin: bool = False) -> jnp.ndarray:
+                xwin: bool = False, dyn: bool = False, mxu: bool = False,
+                _phases: str = "both") -> jnp.ndarray:
     """Fused Farneback iteration, channels-last API.
 
     r0, r1: (..., H, W, 5) polynomial expansions; flow: (..., H, W, 2).
@@ -327,6 +464,6 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     u = flow[..., 0].reshape((-1, h, w))
     v = flow[..., 1].reshape((-1, h, w))
     f = _umuf_pallas_cf(r0cf, r1cf, u, v, max_displacement, winsize, interpret,
-                        packed, xwin)
+                        packed, xwin, dyn, mxu, _phases)
     f = f.reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)

@@ -10,7 +10,8 @@ def _sync(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
     float(leaf.reshape(-1)[0])
 
-def timed(fn, *args, reps=8, outer=3):
+def timed(fn, *args, reps=None, outer=3):
+    reps = reps or int(os.environ.get('PROBE_REPS', '8'))
     import jax
     @jax.jit
     def many(*a):
@@ -57,8 +58,23 @@ def main():
     flow = jnp.asarray(np.stack([fu, fv], -1))
     _sync(r0); _sync(flow)
 
-    for name, kw in [("gather", {}), ("packed", {"packed": True}),
-                     ("xwin", {"xwin": True})]:
+    variants = [("gather", {}), ("packed", {"packed": True}),
+                ("xwin", {"xwin": True}),
+                ("p1only", {"_phases": "p1"}),
+                ("p2only", {"_phases": "p2"}),
+                ("p1xwin", {"xwin": True, "_phases": "p1"}),
+                ("dyn", {"dyn": True}),
+                ("mxu", {"mxu": True}),
+                ("dynmxu", {"dyn": True, "mxu": True}),
+                ("dynmxupk", {"dyn": True, "mxu": True, "packed": True}),
+                ("p1dyn", {"dyn": True, "_phases": "p1"}),
+                ("noop", {"_phases": "none"}),
+                ("p2mxu", {"mxu": True, "_phases": "p2"})]
+    sel = os.environ.get("PROBE_VARIANTS")
+    if sel:
+        names = sel.split(",")
+        variants = [v for v in variants if v[0] in names]
+    for name, kw in variants:
         t = timed(lambda f, a, b: umuf_pallas(a, b, f, d, 5, **kw), flow, r0, r1)
         gb = (n*hw*hw*4*(5+5+2+2))/1e9
         print(f"{name:8s} b={n} {hw}^2 d={d} amp={amp}: {t*1e3:8.2f} ms   "

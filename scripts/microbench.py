@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("FDTPU_CACHE_DIR", "/tmp/fdtpu_microbench_cache")
 
-REPS = 8
+REPS = int(os.environ.get("PROBE_REPS", "8"))
 
 
 def _sync(out):

@@ -86,6 +86,19 @@ def kernel_dyn(v_ref, src_ref, out_ref, acc_ref, *, d, h):
     out_ref[0] = acc_ref[...]
 
 
+def kernel_nopred(v_ref, src_ref, out_ref, acc_ref, *, d, h, k=18):
+    """No predication: unconditionally accumulate exactly k shifts."""
+    v = v_ref[0]
+    m = d + 1
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for s in range(-d, -d + k):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(v - s))
+        for c in range(C):
+            rows = src_ref[0, c, m + s:m + s + h, :]
+            acc_ref[...] += wy * rows
+    out_ref[0] = acc_ref[...]
+
+
 def run(kern, v, src, d, h, w, interpret=False):
     b = v.shape[0]
     f = pl.pallas_call(
@@ -128,7 +141,13 @@ def main():
     err = float(jnp.max(jnp.abs(o1 - o2)))
     print(f"static vs dyn max err: {err:.2e}", flush=True)
 
-    for name, kern in [("static", kernel_static), ("dyn", kernel_dyn)]:
+    variants = [("static", kernel_static), ("dyn", kernel_dyn),
+                ("nopred3", functools.partial(kernel_nopred, k=3)),
+                ("nopred18", functools.partial(kernel_nopred, k=18))]
+    sel = os.environ.get("PROBE_VARIANTS")
+    if sel:
+        variants = [vv for vv in variants if vv[0] in sel.split(",")]
+    for name, kern in variants:
         t, _ = timed(lambda vv, ss: run(kern, vv, ss, d, h, w) + vv * 0, v, src)
         print(f"{name:8s} d={d} amp={amp}: {t*1e3:8.2f} ms", flush=True)
 

@@ -108,3 +108,32 @@ def test_xwin_large_flow_clamp():
     out = np.asarray(U.umuf_pallas(R0, R1, flow, 3, 5, interpret=True,
                                    xwin=True))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("kw", [dict(dyn=True), dict(mxu=True),
+                                dict(dyn=True, mxu=True)])
+def test_dyn_mxu_match_base(kw):
+    # dyn must be bitwise-identical (same gathers, dynamic trip count);
+    # mxu reassociates the box sums on the MXU (float-rounding level).
+    R0, R1, flow = _setup(b=2, h=24, w=40, seed=11, flow_scale=3.0)
+    base = np.asarray(U.umuf_pallas(R0, R1, flow, 4, 5, interpret=True))
+    out = np.asarray(U.umuf_pallas(R0, R1, flow, 4, 5, interpret=True, **kw))
+    tol = 0 if kw == dict(dyn=True) else 1e-5
+    np.testing.assert_allclose(out, base, atol=tol)
+
+
+def test_dyn_mxu_row_tiling_exact(monkeypatch):
+    # Multi-tile execution with per-tile Bh matrices must be tile-invariant.
+    R0, R1, flow = _setup(b=1, h=48, w=40, seed=12)
+    full = np.asarray(U.umuf_pallas(R0, R1, flow, 3, 5, interpret=True,
+                                    dyn=True, mxu=True))
+    orig = U.umuf_fits_vmem
+    monkeypatch.setattr(U, "umuf_fits_vmem",
+                        lambda th, w, d, ws: th <= 16 and orig(th, w, d, ws))
+    U._umuf_pallas_cf.clear_cache()
+    tiled = np.asarray(U.umuf_pallas(R0, R1, flow, 3, 5, interpret=True,
+                                     dyn=True, mxu=True))
+    U._umuf_pallas_cf.clear_cache()
+    np.testing.assert_allclose(tiled, full, atol=1e-6)
+    ref = _split_ref(R0, R1, flow, 3, 5)
+    np.testing.assert_allclose(tiled, ref, atol=5e-4, rtol=1e-4)
