@@ -235,7 +235,7 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
             # (ops/pallas/umuf.py); identical math to the split path below.
             # "pallas_xwin" samples via static shift windows on both axes
             # instead of lane gathers (faster for smooth flows).
-            from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas
+            from flowdenoising_tpu.ops.pallas.umuf import umuf_iterate
             xwin = cfg.sampler == "pallas_xwin"
             # dyn: y-shift loop with a dynamic trip count over the block's
             # true active range (@pl.when bodies execute regardless of
@@ -248,11 +248,10 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
             opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu").split(",")
             dyn = "dyn" in opts and not xwin
             mxu = "mxu" in opts
-            for _ in range(cfg.iterations):
-                flow = umuf_pallas(r0, r1, flow.astype(r0.dtype), d,
-                                   cfg.winsize, packed=packed and not xwin,
-                                   xwin=xwin, dyn=dyn, mxu=mxu)
-            return flow
+            return umuf_iterate(r0, r1, flow.astype(r0.dtype),
+                                cfg.iterations, d, cfg.winsize,
+                                packed=packed and not xwin,
+                                xwin=xwin, dyn=dyn, mxu=mxu)
     m = update_matrices(r0, r1, flow, d, cfg.sampler, packed=packed)
     for i in range(cfg.iterations):
         flow = update_flow(m, cfg.winsize, cfg.sampler)

@@ -79,7 +79,7 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
                  w_true: int, a: int, m0: int, h_true: int,
                  packed: bool = False, xwin: bool = False,
                  dyn: bool = False, mxu: bool = False,
-                 _phases: str = "both"):
+                 zero_tail: bool = False, _phases: str = "both"):
     """One batch element.  r0/u/v cover M rows [m0, m0+hm); r1p additionally
     carries d+1 context rows per side; out covers output rows [a, a+th).
 
@@ -276,8 +276,16 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
             sums.append(hc * inv)
         g11, g12, g22, h1, h2 = sums
         idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-        out_ref[0, 0] = (g11 * h2 - g12 * h1) * idet
-        out_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
+        fu = (g11 * h2 - g12 * h1) * idet
+        fv = (g22 * h1 - g12 * h2) * idet
+        if zero_tail:
+            # keep pad lanes exactly zero so chained iterations see the
+            # same inputs as the zero-padded one-shot API (bitwise)
+            cok = jax.lax.broadcasted_iota(jnp.int32, (th, w_out), 1) < w_true
+            fu = jnp.where(cok, fu, zero)
+            fv = jnp.where(cok, fv, zero)
+        out_ref[0, 0] = fu
+        out_ref[0, 1] = fv
         return
     sums = []
     for c in range(_CH):
@@ -310,8 +318,14 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
 
     g11, g12, g22, h1, h2 = sums
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    out_ref[0, 0] = (g11 * h2 - g12 * h1) * idet
-    out_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
+    fu = (g11 * h2 - g12 * h1) * idet
+    fv = (g22 * h1 - g12 * h2) * idet
+    if zero_tail:
+        cok = jax.lax.broadcasted_iota(jnp.int32, (th, w_out), 1) < w_true
+        fu = jnp.where(cok, fu, zero)
+        fv = jnp.where(cok, fv, zero)
+    out_ref[0, 0] = fu
+    out_ref[0, 1] = fv
 
 
 @functools.lru_cache(maxsize=None)
@@ -343,33 +357,42 @@ def _box_mats(th: int, hm: int, w_out: int, w_true: int, a: int, m0: int,
     return bh, bw
 
 
+def _prepare_cf(r0cf, r1cf, d: int, w: int, packed: bool, dyn: bool):
+    """One-time per (tap, level) data prep shared by every iteration:
+    channel-first lane-padded r0 and row+lane edge-padded (optionally
+    bf16-pair packed) r1.  Hoisting this out of the iteration loop removes
+    ~2/3 of the XLA-side data movement of the old per-call API."""
+    m = d + 1
+    w_out = _round_up(w, _LANE)
+    w_src = w_out + _LANE
+    r0_p = jnp.pad(r0cf.astype(jnp.float32),
+                   ((0, 0), (0, 0), (0, 0), (0, w_out - w)))
+    r1p = jnp.pad(r1cf.astype(jnp.float32),
+                  ((0, 0), (0, 0), (m, m), (m, w_src - w - m)), mode="edge")
+    if packed:
+        r1p = pack_pairs(r1p)
+    if dyn:
+        # 8 throwaway rows so the 8-aligned dynamic window never overruns
+        r1p = jnp.pad(r1p, ((0, 0), (0, 0), (0, 8), (0, 0)))
+    return r0_p, r1p
+
+
 def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
                a: int, m0: int, h_true: int, w: int, interpret: bool,
                packed: bool = False, xwin: bool = False,
                dyn: bool = False, mxu: bool = False,
                _phases: str = "both"):
-    b, c, hm, _ = r0_t.shape
+    """One row tile, PRE-PREPARED operands (see _prepare_cf): r0_t
+    (b, 5, hm, w_out); r1_t (b, 5, hm+2m[+8], w_src) [packed dtype when
+    packed]; u_t, v_t (b, hm, w_out) with zeroed pad lanes."""
+    b, c, hm, w_out = r0_t.shape
     m = d + 1
-    w_out = _round_up(w, _LANE)
     # The dense column box matrix Bw is (w_out, w_out); beyond 512 lanes it
     # would crowd VMEM (and the matmul grows quadratically), so wide planes
     # fall back to the VPU shift-add phase 2.
     mxu = mxu and w_out <= 512
     w_src = w_out + _LANE
-    r1p = jnp.pad(r1_t.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, 0), (m, w_src - w - m)), mode="edge")
-    if packed:
-        r1p = pack_pairs(r1p)
-    r1_rows = hm + 2 * m
-    if dyn:
-        # 8 throwaway rows so the 8-aligned dynamic window never overruns
-        r1p = jnp.pad(r1p, ((0, 0), (0, 0), (0, 8), (0, 0)))
-        r1_rows += 8
-    pad_xy = ((0, 0), (0, 0), (0, w_out - w))
-    u_p = jnp.pad(u_t.astype(jnp.float32), pad_xy)
-    v_p = jnp.pad(v_t.astype(jnp.float32), pad_xy)
-    r0_p = jnp.pad(r0_t.astype(jnp.float32),
-                   ((0, 0), (0, 0), (0, 0), (0, w_out - w)))
+    r1_rows = r1_t.shape[2]
 
     in_specs = [
         pl.BlockSpec((1, _CH, hm, w_out), lambda bb: (bb, 0, 0, 0),
@@ -381,7 +404,7 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
         pl.BlockSpec((1, hm, w_out), lambda bb: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    inputs = [r0_p, r1p, u_p, v_p]
+    inputs = [r0_t, r1_t, u_t, v_t]
     if mxu:
         bh, bw = _box_mats(th, hm, w_out, w, a, m0, winsize // 2)
         inputs += [jnp.asarray(bh), jnp.asarray(bw)]
@@ -391,11 +414,11 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
             pl.BlockSpec((w_out, w_out), lambda bb: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
                           w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
                           packed=packed, xwin=xwin, dyn=dyn, mxu=mxu,
-                          _phases=_phases),
+                          zero_tail=w_out > w, _phases=_phases),
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2, th, w_out), lambda bb: (bb, 0, 0, 0),
@@ -407,41 +430,74 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
-    return out[:, :, :, :w]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_displacement", "winsize", "interpret",
-                                    "packed", "xwin", "dyn", "mxu", "_phases"))
-def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray,
-                    u: jnp.ndarray, v: jnp.ndarray,
-                    max_displacement: int, winsize: int,
+                   static_argnames=("max_displacement", "winsize", "iters",
+                                    "interpret", "packed", "xwin", "dyn",
+                                    "mxu", "_phases"))
+def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray, flow_cf: jnp.ndarray,
+                    max_displacement: int, winsize: int, iters: int = 1,
                     interpret: bool = False, packed: bool = False,
                     xwin: bool = False, dyn: bool = False, mxu: bool = False,
                     _phases: str = "both"):
-    """Channel-first fused iteration.  r0, r1: (B, 5, H, W); u, v: (B, H, W)
-    -> flow (B, 2, H, W).  Row-tiled with exact M-row context."""
+    """Channel-first fused iterationS.  r0, r1: (B, 5, H, W); flow_cf:
+    (B, 2, H, w_out) lane-padded with ZERO pad lanes -> updated flow_cf of
+    the same shape.  Data prep happens once; the iteration loop touches
+    only the 2-channel flow.  Row-tiled with exact M-row context."""
     b, c, h, w = r0.shape
     assert c == _CH
     d = int(max_displacement)
     m = d + 1
     r = winsize // 2
 
-    r1p_plane = jnp.pad(r1, ((0, 0), (0, 0), (m, m), (0, 0)), mode="edge")
+    r0_p, r1p = _prepare_cf(r0, r1, d, w, packed, dyn)
     tiles = plane_row_tiles(h, lambda th: umuf_fits_vmem(th, w, d, winsize))
-    outs = []
-    for a, th in tiles:
-        m0 = max(0, a - r)
-        m1 = min(h, a + th + r)
-        outs.append(_umuf_call(
-            r0[:, :, m0:m1], r1p_plane[:, :, m0:m1 + 2 * m],
-            u[:, m0:m1], v[:, m0:m1],
-            d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
-            interpret=interpret, packed=packed, xwin=xwin, dyn=dyn, mxu=mxu,
-            _phases=_phases))
-    if len(outs) == 1:
-        return outs[0]
-    return jnp.concatenate(outs, axis=2)
+    for _ in range(iters):
+        outs = []
+        for a, th in tiles:
+            m0 = max(0, a - r)
+            m1 = min(h, a + th + r)
+            r1_hi = m1 + 2 * m + (8 if dyn else 0)
+            outs.append(_umuf_call(
+                r0_p[:, :, m0:m1], r1p[:, :, m0:r1_hi],
+                flow_cf[:, 0, m0:m1], flow_cf[:, 1, m0:m1],
+                d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
+                interpret=interpret, packed=packed, xwin=xwin, dyn=dyn,
+                mxu=mxu, _phases=_phases))
+        flow_cf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+    return flow_cf
+
+
+def _lane_pad_flow_cf(flow_cf, w):
+    w_out = _round_up(w, _LANE)
+    if w_out == w:
+        return flow_cf
+    return jnp.pad(flow_cf, ((0, 0), (0, 0), (0, 0), (0, w_out - w)))
+
+
+def umuf_iterate(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
+                 iters: int, max_displacement: int, winsize: int,
+                 interpret: bool = False, packed: bool = False,
+                 xwin: bool = False, dyn: bool = False,
+                 mxu: bool = False) -> jnp.ndarray:
+    """``iters`` chained fused Farneback iterations, channels-last API.
+
+    Numerically identical to calling ``umuf_pallas`` ``iters`` times, but
+    the operand prep (channel transposes, edge pads, bf16 packing) runs
+    once instead of per iteration -- the dominant XLA-side cost of the old
+    per-call form at L0 sizes.
+    """
+    lead = r0.shape[:-3]
+    h, w = r0.shape[-3], r0.shape[-2]
+    r0cf = jnp.moveaxis(r0, -1, -3).reshape((-1, _CH, h, w))
+    r1cf = jnp.moveaxis(r1, -1, -3).reshape((-1, _CH, h, w))
+    fcf = jnp.moveaxis(flow, -1, -3).reshape((-1, 2, h, w))
+    fcf = _lane_pad_flow_cf(fcf, w)
+    fcf = _umuf_pallas_cf(r0cf, r1cf, fcf, max_displacement, winsize, iters,
+                          interpret, packed, xwin, dyn, mxu)
+    f = fcf[:, :, :, :w].reshape(lead + (2, h, w))
+    return jnp.moveaxis(f, -3, -1)
 
 
 def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
@@ -449,7 +505,7 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                 interpret: bool = False, packed: bool = False,
                 xwin: bool = False, dyn: bool = False, mxu: bool = False,
                 _phases: str = "both") -> jnp.ndarray:
-    """Fused Farneback iteration, channels-last API.
+    """ONE fused Farneback iteration, channels-last API.
 
     r0, r1: (..., H, W, 5) polynomial expansions; flow: (..., H, W, 2).
     Returns the updated flow (..., H, W, 2); numerically identical to
@@ -461,9 +517,9 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     h, w = r0.shape[-3], r0.shape[-2]
     r0cf = jnp.moveaxis(r0, -1, -3).reshape((-1, _CH, h, w))
     r1cf = jnp.moveaxis(r1, -1, -3).reshape((-1, _CH, h, w))
-    u = flow[..., 0].reshape((-1, h, w))
-    v = flow[..., 1].reshape((-1, h, w))
-    f = _umuf_pallas_cf(r0cf, r1cf, u, v, max_displacement, winsize, interpret,
-                        packed, xwin, dyn, mxu, _phases)
-    f = f.reshape(lead + (2, h, w))
+    fcf = jnp.moveaxis(flow, -1, -3).reshape((-1, 2, h, w))
+    fcf = _lane_pad_flow_cf(fcf, w)
+    fcf = _umuf_pallas_cf(r0cf, r1cf, fcf, max_displacement, winsize, 1,
+                          interpret, packed, xwin, dyn, mxu, _phases)
+    f = fcf[:, :, :, :w].reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)

@@ -91,6 +91,35 @@ def test_iterated_application_matches_level_loop():
                                atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("kw", [dict(), dict(dyn=True), dict(mxu=True),
+                                dict(dyn=True, mxu=True)])
+def test_umuf_iterate_matches_chained_calls(kw):
+    # The prepared-iteration API (prep hoisted out of the loop, flow kept
+    # channel-first/lane-padded between iterations) must be bitwise equal
+    # to iterating the one-shot API — including at non-lane-aligned widths
+    # where the zero_tail masking stands in for the per-call re-pad.
+    R0, R1, flow = _setup(b=2, h=20, w=36, seed=13, flow_scale=2.0)
+    ref = flow
+    for _ in range(3):
+        ref = U.umuf_pallas(R0, R1, ref, 3, 5, interpret=True, **kw)
+    out = U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_umuf_iterate_row_tiled(monkeypatch):
+    # Multi-tile iteration: per-tile flow slices are re-assembled between
+    # iterations; must equal the single-tile result.
+    R0, R1, flow = _setup(b=1, h=48, w=40, seed=14)
+    full = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True))
+    orig = U.umuf_fits_vmem
+    monkeypatch.setattr(U, "umuf_fits_vmem",
+                        lambda th, w, d, ws: th <= 16 and orig(th, w, d, ws))
+    U._umuf_pallas_cf.clear_cache()
+    tiled = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True))
+    U._umuf_pallas_cf.clear_cache()
+    np.testing.assert_allclose(tiled, full, atol=1e-6)
+
+
 def test_xwin_matches_gather_path():
     # The static-shift-window sampling variant is mathematically identical
     # to the lane-gather path (bilinear hat decomposition); outputs must
