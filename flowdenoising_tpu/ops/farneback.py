@@ -245,13 +245,16 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
             # Together ~1.5x per iteration on v5e (scripts/iter_probe.py).
             # FDTPU_UMUF_OPTS overrides for A/B benchmarking ("base",
             # "dyn", "mxu", "dyn,mxu").
+            # "nofuse" reverts to one Pallas program per iteration instead
+            # of all iterations chained inside one program per row tile.
             opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu").split(",")
             dyn = "dyn" in opts and not xwin
             mxu = "mxu" in opts
             return umuf_iterate(r0, r1, flow.astype(r0.dtype),
                                 cfg.iterations, d, cfg.winsize,
                                 packed=packed and not xwin,
-                                xwin=xwin, dyn=dyn, mxu=mxu)
+                                xwin=xwin, dyn=dyn, mxu=mxu,
+                                fused="nofuse" not in opts)
     m = update_matrices(r0, r1, flow, d, cfg.sampler, packed=packed)
     for i in range(cfg.iterations):
         flow = update_flow(m, cfg.winsize, cfg.sampler)

@@ -41,21 +41,26 @@ from flowdenoising_tpu.ops.pallas.update_matrices import _edge_weight
 
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 _CH = 5
+# dyn mode: extra r1 pad rows so the 8-aligned dynamic window (rounded up to
+# a sublane multiple of 8, i.e. up to hm+14 rows) never overruns the buffer
+_DYN_PAD = 16
 
 
-def umuf_fits_vmem(th: int, w: int, d: int, winsize: int) -> bool:
+def umuf_fits_vmem(th: int, w: int, d: int, winsize: int,
+                   iters: int = 1) -> bool:
     """Whether one batch program's operands + M scratch fit the VMEM budget."""
     m = d + 1
     r = winsize // 2
-    hm = th + 2 * r
+    hm = th + 2 * r * iters
     w_out = _round_up(w, _LANE)
     w_src = w_out + _LANE
-    needed = 4 * (_CH * (hm + 2 * m + 8) * w_src  # r1 padded (+8 dyn rows)
+    needed = 4 * (_CH * (hm + 2 * m + _DYN_PAD) * w_src  # r1 (+dyn pad rows)
                   + _CH * hm * w_out              # r0
                   + 2 * hm * w_out                # u, v
                   + _CH * hm * w_out              # M scratch
                   + _CH * hm * _LANE              # sampling accumulator
                   + th * hm + min(w_out, 512) ** 2  # mxu box matrices
+                  + (2 * hm * w_out if iters > 1 else 0)  # flow carry scratch
                   + 2 * th * w_out)               # flow out
     return needed <= _VMEM_BUDGET_BYTES
 
@@ -76,13 +81,22 @@ def _replicated_rows(m_ref, c: int, lo: int, n_rows: int, top: int, bot: int,
 
 def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
                  d: int, winsize: int, th: int, hm: int, w_out: int,
-                 w_true: int, a: int, m0: int, h_true: int,
+                 w_true: int, a: int, m0: int, h_true: int, iters: int = 1,
                  packed: bool = False, xwin: bool = False,
                  dyn: bool = False, mxu: bool = False,
                  zero_tail: bool = False, _phases: str = "both"):
     """One batch element.  r0/u/v cover M rows [m0, m0+hm); r1p additionally
     carries d+1 context rows per side; out covers output rows [a, a+th).
 
+    ``iters``: number of chained Farneback iterations run INSIDE the program.
+    The flow carry lives in VMEM scratch (f_ref); intermediate iterations
+    rebuild M and solve over the full hm-row range, the last one solves only
+    the output rows.  The caller extends the tile's row context by
+    ``r*iters`` (not r), so output rows are bitwise-identical to running
+    iterations as separate programs over the whole plane: tile-edge rows
+    whose box window sees synthetically replicated M go wrong, but the
+    wrongness creeps inward at most r rows per iteration and never reaches
+    [a, a+th).
     ``dyn``: the y-shift loop runs as a lax.fori_loop over the block's TRUE
     active shift range (dynamic trip count) instead of a statically unrolled
     predicated loop -- @pl.when bodies execute regardless of their runtime
@@ -92,9 +106,15 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
     weights, instead of ~50 full-plane VPU shift-adds.
     """
     if mxu:
-        bh_ref, bw_ref, out_ref, m_ref, acc_ref = rest
-    else:
-        out_ref, m_ref, acc_ref = rest
+        if iters > 1:
+            bh_ref, bhf_ref, bw_ref = rest[:3]
+            rest = rest[3:]
+        else:
+            bh_ref, bw_ref = rest[:2]
+            bhf_ref = None
+            rest = rest[2:]
+    out_ref, m_ref, acc_ref = rest[:3]
+    f_ref = rest[3] if iters > 1 else None
     m = d + 1
     r = winsize // 2
     n_blk = w_out // _LANE
@@ -108,20 +128,45 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
     row = jax.lax.broadcasted_iota(jnp.int32, (hm, _LANE), 0) + m0
     row_w = _edge_weight(row, h_true)
 
-    # ---- phase 1: M per x-block, written to VMEM scratch ----
     if _phases == "none":
         # probe mode: pure pipeline/DMA floor
         out_ref[0, 0] = u_ref[0, :th, :]
         out_ref[0, 1] = v_ref[0, :th, :]
         return
-    if _phases == "p2":
-        # probe mode: skip sampling, fill M from r0 directly
-        for c in range(_CH):
-            m_ref[c] = r0_ref[0, c]
-    for blk in range(n_blk) if _phases != "p2" else []:
+
+    _phase1_phase2(
+        r0_ref=r0_ref, r1p_ref=r1p_ref, u_ref=u_ref, v_ref=v_ref,
+        out_ref=out_ref, m_ref=m_ref, acc_ref=acc_ref, f_ref=f_ref,
+        bh_ref=bh_ref if mxu else None, bhf_ref=bhf_ref if mxu else None,
+        bw_ref=bw_ref if mxu else None,
+        d=d, winsize=winsize, th=th, hm=hm, w_out=w_out, w_true=w_true,
+        a=a, m0=m0, h_true=h_true, iters=iters, packed=packed, xwin=xwin,
+        dyn=dyn, mxu=mxu, zero_tail=zero_tail, _phases=_phases,
+        col=col, row=row, row_w=row_w, n_blk=n_blk,
+        consts=(zero, one, half, quarter))
+
+
+def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
+                   f_ref, bh_ref, bhf_ref, bw_ref, d, winsize, th, hm, w_out,
+                   w_true, a, m0, h_true, iters, packed, xwin, dyn, mxu,
+                   zero_tail, _phases, col, row, row_w, n_blk, consts):
+    zero, one, half, quarter = consts
+    m = d + 1
+    r = winsize // 2
+
+    def phase1(read_uv):
+        # ---- phase 1: M per x-block, written to VMEM scratch ----
+        if _phases == "p2":
+            # probe mode: skip sampling, fill M from r0 directly
+            for c in range(_CH):
+                m_ref[c] = r0_ref[0, c]
+            return
+        for blk in range(n_blk):
+            _phase1_block(blk, read_uv)
+
+    def _phase1_block(blk, read_uv):
         x0 = blk * _LANE
-        dx = u_ref[0, :, x0:x0 + _LANE]
-        dy = v_ref[0, :, x0:x0 + _LANE]
+        dx, dy = read_uv(x0)
         u = jnp.clip(dx, -float(d), float(d))
         v = jnp.clip(dy, -float(d), float(d))
         iu = jnp.floor(u)
@@ -192,7 +237,10 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
             if dyn:
                 s_lo = jnp.floor(vmin).astype(jnp.int32)
                 s_hi = jnp.floor(vmax).astype(jnp.int32) + 1
-                nw = hm + 8
+                # window row count must be sublane-aligned (Mosaic's
+                # dynamic_rotate rejects unaligned shapes); covers the sub-8
+                # offset (< 8 rows) after rounding
+                nw = _round_up(hm + 7, 8)
 
                 def s_body(sv, carry):
                     # Mosaic requires dynamic sublane starts to be 8-aligned:
@@ -250,30 +298,60 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
         m_ref[3, :, x0:x0 + _LANE] = r4 * r2 + r6 * r3
         m_ref[4, :, x0:x0 + _LANE] = r6 * r2 + r5 * r3
 
-    # ---- phase 2: box aggregation + 2x2 solve, full width ----
-    if _phases == "p1":
-        # probe mode: skip box+solve, emit two M channels as the "flow"
-        out_ref[0, 0] = m_ref[3, a - m0:a - m0 + th, :]
-        out_ref[0, 1] = m_ref[4, a - m0:a - m0 + th, :]
-        return
-    inv = jnp.float32(1.0 / float(winsize * winsize))
-    if mxu:
-        # Box aggregation as two banded matmuls per channel on the MXU:
-        # sums[c] = (Bh @ M[c] @ Bw) * inv, with the border-replication
-        # multiplicities folded into the 0/1/2/3 band weights (built on the
-        # host in _box_mats).  Frees the VPU for phase 1 and replaces ~50
-        # full-plane shift-add ops with 2 matmuls per channel.
-        bh = bh_ref[...]
-        bw = bw_ref[...]
-        sums = []
-        for c in range(_CH):
-            vc = jax.lax.dot_general(
-                bh, m_ref[c], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            hc = jax.lax.dot_general(
-                vc, bw, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            sums.append(hc * inv)
+    def phase2(bh_like, a2, th2):
+        # ---- phase 2: box aggregation + 2x2 solve, full width, output
+        # rows [a2, a2+th2) ----
+        inv = jnp.float32(1.0 / float(winsize * winsize))
+        if mxu:
+            # Box aggregation as two banded matmuls per channel on the MXU:
+            # sums[c] = (Bh @ M[c] @ Bw) * inv, with the border-replication
+            # multiplicities folded into the 0/1/2/3 band weights (built on
+            # the host in _box_mats).  Frees the VPU for phase 1 and replaces
+            # ~50 full-plane shift-add ops with 2 matmuls per channel.
+            bh = bh_like[...]
+            bw = bw_ref[...]
+            sums = []
+            for c in range(_CH):
+                vc = jax.lax.dot_general(
+                    bh, m_ref[c], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                hc = jax.lax.dot_general(
+                    vc, bw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sums.append(hc * inv)
+        else:
+            sums = []
+            for c in range(_CH):
+                vacc = None
+                for o in range(-r, r + 1):
+                    # output row i reads M plane rows
+                    # clamp(a2+i+o, m0, m0+hm-1)
+                    top = max(0, m0 - (a2 + o))
+                    bot = max(0, (a2 + th2 + o) - (m0 + hm))
+                    lo = max(0, a2 + o - m0)
+                    rows_o = _replicated_rows(m_ref, c, lo, th2 - top - bot,
+                                              top, bot, hm, w_out)
+                    vacc = rows_o if vacc is None else vacc + rows_o
+                hacc = None
+                for o in range(-r, r + 1):
+                    if o == 0:
+                        sh = vacc
+                    elif o < 0:
+                        sh = jnp.concatenate(
+                            [jnp.broadcast_to(vacc[:, 0:1], (th2, -o)),
+                             vacc[:, 0:w_out + o]], axis=1)
+                    else:
+                        # anchor at the true width: columns beyond it hold
+                        # garbage
+                        fill = w_out - (w_true - o)
+                        sh = jnp.concatenate(
+                            [vacc[:, o:w_true],
+                             jnp.broadcast_to(vacc[:, w_true - 1:w_true],
+                                              (th2, fill))],
+                            axis=1)
+                    hacc = sh if hacc is None else hacc + sh
+                sums.append(hacc * inv)
+
         g11, g12, g22, h1, h2 = sums
         idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
         fu = (g11 * h2 - g12 * h1) * idet
@@ -281,51 +359,35 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
         if zero_tail:
             # keep pad lanes exactly zero so chained iterations see the
             # same inputs as the zero-padded one-shot API (bitwise)
-            cok = jax.lax.broadcasted_iota(jnp.int32, (th, w_out), 1) < w_true
+            cok = jax.lax.broadcasted_iota(jnp.int32, (th2, w_out), 1) < w_true
             fu = jnp.where(cok, fu, zero)
             fv = jnp.where(cok, fv, zero)
-        out_ref[0, 0] = fu
-        out_ref[0, 1] = fv
-        return
-    sums = []
-    for c in range(_CH):
-        vacc = None
-        for o in range(-r, r + 1):
-            # output row i reads M plane rows clamp(a+i+o, m0, m0+hm-1)
-            top = max(0, m0 - (a + o))
-            bot = max(0, (a + th + o) - (m0 + hm))
-            lo = max(0, a + o - m0)
-            rows_o = _replicated_rows(m_ref, c, lo, th - top - bot, top, bot,
-                                      hm, w_out)
-            vacc = rows_o if vacc is None else vacc + rows_o
-        hacc = None
-        for o in range(-r, r + 1):
-            if o == 0:
-                sh = vacc
-            elif o < 0:
-                sh = jnp.concatenate(
-                    [jnp.broadcast_to(vacc[:, 0:1], (th, -o)),
-                     vacc[:, 0:w_out + o]], axis=1)
-            else:
-                # anchor at the true width: columns beyond it hold garbage
-                fill = w_out - (w_true - o)
-                sh = jnp.concatenate(
-                    [vacc[:, o:w_true],
-                     jnp.broadcast_to(vacc[:, w_true - 1:w_true], (th, fill))],
-                    axis=1)
-            hacc = sh if hacc is None else hacc + sh
-        sums.append(hacc * inv)
+        return fu, fv
 
-    g11, g12, g22, h1, h2 = sums
-    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    fu = (g11 * h2 - g12 * h1) * idet
-    fv = (g22 * h1 - g12 * h2) * idet
-    if zero_tail:
-        cok = jax.lax.broadcasted_iota(jnp.int32, (th, w_out), 1) < w_true
-        fu = jnp.where(cok, fu, zero)
-        fv = jnp.where(cok, fv, zero)
-    out_ref[0, 0] = fu
-    out_ref[0, 1] = fv
+    def read_in(x0):
+        return u_ref[0, :, x0:x0 + _LANE], v_ref[0, :, x0:x0 + _LANE]
+
+    def read_carry(x0):
+        return f_ref[0, :, x0:x0 + _LANE], f_ref[1, :, x0:x0 + _LANE]
+
+    for it in range(iters):
+        phase1(read_in if it == 0 else read_carry)
+        if _phases == "p1":
+            # probe mode: skip box+solve, emit two M channels as the "flow"
+            out_ref[0, 0] = m_ref[3, a - m0:a - m0 + th, :]
+            out_ref[0, 1] = m_ref[4, a - m0:a - m0 + th, :]
+            return
+        if it < iters - 1:
+            # intermediate iteration: solve the FULL hm-row range into the
+            # VMEM flow carry (rows within r*(iters-1-it) of a synthetic
+            # tile edge go wrong here and are never read by the output rows)
+            fu, fv = phase2(bhf_ref, m0, hm)
+            f_ref[0] = fu
+            f_ref[1] = fv
+        else:
+            fu, fv = phase2(bh_ref, a, th)
+            out_ref[0, 0] = fu
+            out_ref[0, 1] = fv
 
 
 @functools.lru_cache(maxsize=None)
@@ -372,21 +434,25 @@ def _prepare_cf(r0cf, r1cf, d: int, w: int, packed: bool, dyn: bool):
     if packed:
         r1p = pack_pairs(r1p)
     if dyn:
-        # 8 throwaway rows so the 8-aligned dynamic window never overruns
-        r1p = jnp.pad(r1p, ((0, 0), (0, 0), (0, 8), (0, 0)))
+        # throwaway rows so the 8-aligned dynamic window (rounded up to a
+        # sublane multiple, <= hm+14 rows) never overruns
+        r1p = jnp.pad(r1p, ((0, 0), (0, 0), (0, _DYN_PAD), (0, 0)))
     return r0_p, r1p
 
 
 def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
                a: int, m0: int, h_true: int, w: int, interpret: bool,
-               packed: bool = False, xwin: bool = False,
+               iters: int = 1, packed: bool = False, xwin: bool = False,
                dyn: bool = False, mxu: bool = False,
                _phases: str = "both"):
     """One row tile, PRE-PREPARED operands (see _prepare_cf): r0_t
-    (b, 5, hm, w_out); r1_t (b, 5, hm+2m[+8], w_src) [packed dtype when
-    packed]; u_t, v_t (b, hm, w_out) with zeroed pad lanes."""
+    (b, 5, hm, w_out); r1_t (b, 5, hm+2m[+pad], w_src) [packed dtype when
+    packed]; u_t, v_t (b, hm, w_out) with zeroed pad lanes.  ``iters``
+    chained iterations run inside the program (caller must size the row
+    context for r*iters)."""
     b, c, hm, w_out = r0_t.shape
     m = d + 1
+    assert iters == 1 or _phases == "both"
     # The dense column box matrix Bw is (w_out, w_out); beyond 512 lanes it
     # would crowd VMEM (and the matmul grows quadratically), so wide planes
     # fall back to the VPU shift-add phase 2.
@@ -407,25 +473,33 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
     inputs = [r0_t, r1_t, u_t, v_t]
     if mxu:
         bh, bw = _box_mats(th, hm, w_out, w, a, m0, winsize // 2)
-        inputs += [jnp.asarray(bh), jnp.asarray(bw)]
-        in_specs += [
-            pl.BlockSpec((th, hm), lambda bb: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_out, w_out), lambda bb: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        inputs += [jnp.asarray(bh)]
+        in_specs += [pl.BlockSpec((th, hm), lambda bb: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        if iters > 1:
+            # full-range Bh for the intermediate in-kernel iterations
+            bhf, _ = _box_mats(hm, hm, w_out, w, m0, m0, winsize // 2)
+            inputs += [jnp.asarray(bhf)]
+            in_specs += [pl.BlockSpec((hm, hm), lambda bb: (0, 0),
+                                      memory_space=pltpu.VMEM)]
+        inputs += [jnp.asarray(bw)]
+        in_specs += [pl.BlockSpec((w_out, w_out), lambda bb: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+    scratch = [pltpu.VMEM((_CH, hm, w_out), jnp.float32),
+               pltpu.VMEM((_CH, hm, _LANE), jnp.float32)]
+    if iters > 1:
+        scratch.append(pltpu.VMEM((2, hm, w_out), jnp.float32))
     return pl.pallas_call(
         functools.partial(_umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
                           w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
-                          packed=packed, xwin=xwin, dyn=dyn, mxu=mxu,
-                          zero_tail=w_out > w, _phases=_phases),
+                          iters=iters, packed=packed, xwin=xwin, dyn=dyn,
+                          mxu=mxu, zero_tail=w_out > w, _phases=_phases),
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2, th, w_out), lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2, th, w_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_CH, hm, w_out), jnp.float32),
-                        pltpu.VMEM((_CH, hm, _LANE), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -435,16 +509,20 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
 @functools.partial(jax.jit,
                    static_argnames=("max_displacement", "winsize", "iters",
                                     "interpret", "packed", "xwin", "dyn",
-                                    "mxu", "_phases"))
+                                    "mxu", "fused", "_phases"))
 def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray, flow_cf: jnp.ndarray,
                     max_displacement: int, winsize: int, iters: int = 1,
                     interpret: bool = False, packed: bool = False,
                     xwin: bool = False, dyn: bool = False, mxu: bool = False,
-                    _phases: str = "both"):
+                    fused: bool = True, _phases: str = "both"):
     """Channel-first fused iterationS.  r0, r1: (B, 5, H, W); flow_cf:
     (B, 2, H, w_out) lane-padded with ZERO pad lanes -> updated flow_cf of
-    the same shape.  Data prep happens once; the iteration loop touches
-    only the 2-channel flow.  Row-tiled with exact M-row context."""
+    the same shape.  Data prep happens once.  With ``fused`` all iterations
+    run inside ONE Pallas program per row tile (flow carry in VMEM; the
+    tile's row context grows by r per iteration so the output rows stay
+    bitwise-identical to per-iteration programs -- r0/r1 are DMAed once
+    instead of per iteration); otherwise one program per iteration with
+    exact M-row context."""
     b, c, h, w = r0.shape
     assert c == _CH
     d = int(max_displacement)
@@ -452,19 +530,22 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray, flow_cf: jnp.ndarray,
     r = winsize // 2
 
     r0_p, r1p = _prepare_cf(r0, r1, d, w, packed, dyn)
-    tiles = plane_row_tiles(h, lambda th: umuf_fits_vmem(th, w, d, winsize))
-    for _ in range(iters):
+    in_k = iters if (fused and _phases == "both") else 1
+    margin = r * in_k
+    tiles = plane_row_tiles(
+        h, lambda th: umuf_fits_vmem(th, w, d, winsize, in_k))
+    for _ in range(iters // in_k):
         outs = []
         for a, th in tiles:
-            m0 = max(0, a - r)
-            m1 = min(h, a + th + r)
-            r1_hi = m1 + 2 * m + (8 if dyn else 0)
+            m0 = max(0, a - margin)
+            m1 = min(h, a + th + margin)
+            r1_hi = m1 + 2 * m + (_DYN_PAD if dyn else 0)
             outs.append(_umuf_call(
                 r0_p[:, :, m0:m1], r1p[:, :, m0:r1_hi],
                 flow_cf[:, 0, m0:m1], flow_cf[:, 1, m0:m1],
                 d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
-                interpret=interpret, packed=packed, xwin=xwin, dyn=dyn,
-                mxu=mxu, _phases=_phases))
+                interpret=interpret, iters=in_k, packed=packed, xwin=xwin,
+                dyn=dyn, mxu=mxu, _phases=_phases))
         flow_cf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
     return flow_cf
 
@@ -480,13 +561,15 @@ def umuf_iterate(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                  iters: int, max_displacement: int, winsize: int,
                  interpret: bool = False, packed: bool = False,
                  xwin: bool = False, dyn: bool = False,
-                 mxu: bool = False) -> jnp.ndarray:
+                 mxu: bool = False, fused: bool = True) -> jnp.ndarray:
     """``iters`` chained fused Farneback iterations, channels-last API.
 
-    Numerically identical to calling ``umuf_pallas`` ``iters`` times, but
-    the operand prep (channel transposes, edge pads, bf16 packing) runs
-    once instead of per iteration -- the dominant XLA-side cost of the old
-    per-call form at L0 sizes.
+    Bitwise-identical to calling ``umuf_pallas`` ``iters`` times, but the
+    operand prep (channel transposes, edge pads, bf16 packing) runs once
+    instead of per iteration, and with ``fused`` (default) all iterations
+    run inside one Pallas program per row tile -- r0/r1 enter VMEM once
+    per tap-level instead of once per iteration, and the intermediate
+    flows never round-trip HBM.
     """
     lead = r0.shape[:-3]
     h, w = r0.shape[-3], r0.shape[-2]
@@ -495,7 +578,7 @@ def umuf_iterate(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     fcf = jnp.moveaxis(flow, -1, -3).reshape((-1, 2, h, w))
     fcf = _lane_pad_flow_cf(fcf, w)
     fcf = _umuf_pallas_cf(r0cf, r1cf, fcf, max_displacement, winsize, iters,
-                          interpret, packed, xwin, dyn, mxu)
+                          interpret, packed, xwin, dyn, mxu, fused)
     f = fcf[:, :, :, :w].reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)
 
@@ -520,6 +603,6 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     fcf = jnp.moveaxis(flow, -1, -3).reshape((-1, 2, h, w))
     fcf = _lane_pad_flow_cf(fcf, w)
     fcf = _umuf_pallas_cf(r0cf, r1cf, fcf, max_displacement, winsize, 1,
-                          interpret, packed, xwin, dyn, mxu, _phases)
+                          interpret, packed, xwin, dyn, mxu, _phases=_phases)
     f = fcf[:, :, :, :w].reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)

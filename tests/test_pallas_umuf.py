@@ -56,9 +56,9 @@ def test_row_tiling_exact(monkeypatch):
     fits_calls = []
     orig = U.umuf_fits_vmem
 
-    def tiny_fits(th, w, d, winsize):
+    def tiny_fits(th, w, d, winsize, iters=1):
         fits_calls.append(th)
-        return th <= 16 and orig(th, w, d, winsize)
+        return th <= 16 and orig(th, w, d, winsize, iters)
 
     monkeypatch.setattr(U, "umuf_fits_vmem", tiny_fits)
     U._umuf_pallas_cf.clear_cache()
@@ -91,33 +91,63 @@ def test_iterated_application_matches_level_loop():
                                atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("kw", [dict(), dict(dyn=True), dict(mxu=True),
                                 dict(dyn=True, mxu=True)])
-def test_umuf_iterate_matches_chained_calls(kw):
+def test_umuf_iterate_matches_chained_calls(kw, fused):
     # The prepared-iteration API (prep hoisted out of the loop, flow kept
-    # channel-first/lane-padded between iterations) must be bitwise equal
-    # to iterating the one-shot API — including at non-lane-aligned widths
-    # where the zero_tail masking stands in for the per-call re-pad.
+    # channel-first/lane-padded between iterations; with fused=True all
+    # iterations chained inside one program, flow carry in VMEM) must be
+    # bitwise equal to iterating the one-shot API — including at
+    # non-lane-aligned widths where the zero_tail masking stands in for the
+    # per-call re-pad.
     R0, R1, flow = _setup(b=2, h=20, w=36, seed=13, flow_scale=2.0)
     ref = flow
     for _ in range(3):
         ref = U.umuf_pallas(R0, R1, ref, 3, 5, interpret=True, **kw)
-    out = U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True, **kw)
+    out = U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True, fused=fused,
+                         **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
 
 
-def test_umuf_iterate_row_tiled(monkeypatch):
+@pytest.mark.parametrize("fused", [True, False])
+def test_umuf_iterate_row_tiled(monkeypatch, fused):
     # Multi-tile iteration: per-tile flow slices are re-assembled between
-    # iterations; must equal the single-tile result.
+    # iterations (fused=False) or carried in VMEM with an r*iters row
+    # context (fused=True); both must equal the single-tile result exactly.
     R0, R1, flow = _setup(b=1, h=48, w=40, seed=14)
-    full = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True))
+    full = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True,
+                                     fused=fused))
     orig = U.umuf_fits_vmem
     monkeypatch.setattr(U, "umuf_fits_vmem",
-                        lambda th, w, d, ws: th <= 16 and orig(th, w, d, ws))
+                        lambda th, w, d, ws, it=1: th <= 16
+                        and orig(th, w, d, ws, it))
     U._umuf_pallas_cf.clear_cache()
-    tiled = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True))
+    tiled = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True,
+                                      fused=fused))
     U._umuf_pallas_cf.clear_cache()
-    np.testing.assert_allclose(tiled, full, atol=1e-6)
+    np.testing.assert_allclose(tiled, full, atol=0)
+
+
+@pytest.mark.parametrize("kw", [dict(), dict(dyn=True, mxu=True)])
+def test_umuf_fused_iters_tile_invariant_vs_unfused(monkeypatch, kw):
+    # The fused in-kernel iteration under FORCED multi-tiling must equal the
+    # unfused per-iteration programs bitwise: the r*iters halo argument.
+    R0, R1, flow = _setup(b=1, h=64, w=40, seed=15, flow_scale=2.5)
+    ref = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True,
+                                    fused=False))
+    orig = U.umuf_fits_vmem
+    monkeypatch.setattr(U, "umuf_fits_vmem",
+                        lambda th, w, d, ws, it=1: th <= 16
+                        and orig(th, w, d, ws, it))
+    U._umuf_pallas_cf.clear_cache()
+    out = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True,
+                                    fused=True, **kw))
+    U._umuf_pallas_cf.clear_cache()
+    if kw.get("mxu"):
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    else:
+        np.testing.assert_allclose(out, ref, atol=0)
 
 
 def test_xwin_matches_gather_path():
@@ -158,7 +188,8 @@ def test_dyn_mxu_row_tiling_exact(monkeypatch):
                                     dyn=True, mxu=True))
     orig = U.umuf_fits_vmem
     monkeypatch.setattr(U, "umuf_fits_vmem",
-                        lambda th, w, d, ws: th <= 16 and orig(th, w, d, ws))
+                        lambda th, w, d, ws, it=1: th <= 16
+                        and orig(th, w, d, ws, it))
     U._umuf_pallas_cf.clear_cache()
     tiled = np.asarray(U.umuf_pallas(R0, R1, flow, 3, 5, interpret=True,
                                      dyn=True, mxu=True))
