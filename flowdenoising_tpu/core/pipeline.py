@@ -187,23 +187,51 @@ def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
 
 def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
                  window: int = 2):
-    """Throughput mode: denoise a batch of equally-shaped volumes.
+    """Throughput mode: denoise a stream of equally-shaped volumes.
 
-    Dispatches each volume through the same cached per-pass executables
-    without blocking between volumes: JAX dispatch is asynchronous, so the
-    host->HBM transfer of volume i+1 (issued by the first pass's
-    ``jnp.asarray``) is enqueued while volume i computes -- double-buffered
-    streaming at the dispatch level (the reference has no analogue; this is
-    BASELINE.json config 5).  ``window`` bounds how many volumes are in
-    flight at once so the staged inputs + working sets cannot exhaust HBM
-    at large volume sizes; with window=2 transfer of i+1 still fully
-    overlaps compute of i.  Returns a list of on-device results.
+    True double-buffered streaming (the reference has no analogue; this is
+    BASELINE.json config 5): host volumes are pre-staged onto the device
+    with an explicit async ``jax.device_put`` BEFORE the preceding volume's
+    compute is drained, so the H2D transfer of volume i+1 overlaps compute
+    of volume i by construction -- not just by dispatch-queue luck.  Staged
+    buffers are handed to :func:`denoise` as ``owned``, so the first pass
+    donates them with no defensive on-device copy.
+
+    ``window`` bounds how many volumes are staged + in flight at once so
+    the working sets cannot exhaust HBM at large volume sizes; window=2 is
+    classic double buffering.  ``vols`` may be any iterable (lazily
+    consumed, so a generator reading volumes from disk streams end to end).
+    Returns a list of on-device results.
     """
+    import collections
+    import itertools
+
+    it = iter(vols)
+    staged = collections.deque()
+
+    def stage(v):
+        if not (isinstance(v, jax.Array) and v.dtype == jnp.float32):
+            v = jax.device_put(np.asarray(v, dtype=np.float32))
+            owned = True
+        else:
+            owned = False  # caller-held device array: denoise copies it
+        staged.append((v, owned))
+
+    for v in itertools.islice(it, max(1, window)):
+        stage(v)
+
     outs = []
-    for i, v in enumerate(vols):
-        outs.append(denoise(v, cfg, kernels=kernels))
-        if i >= window:
-            outs[i - window].block_until_ready()
+    while staged:
+        v, owned = staged.popleft()
+        outs.append(denoise(v, cfg, kernels=kernels, owned=owned))
+        del v
+        # Stage the next volume NOW: its H2D runs while the volume just
+        # dispatched computes.
+        nxt = next(it, None)
+        if nxt is not None:
+            stage(nxt)
+        if len(outs) > window:
+            outs[-window - 1].block_until_ready()
     for o in outs:
         o.block_until_ready()
     return outs
@@ -211,7 +239,7 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
 
 def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
             kernels=None, start_pass: int = 0, mean_val=None,
-            on_pass=None) -> jnp.ndarray:
+            on_pass=None, owned: bool = False) -> jnp.ndarray:
     """Full OF-compensated denoise: Z, Y, X passes with Farneback-compensated
     Gaussian accumulation (or the plain Gaussian when cfg.use_flow=False).
 
@@ -220,14 +248,17 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
     as ``vol`` and the ORIGINAL input's mean as ``mean_val`` (the reference
     sequential pipeline reuses the input mean for all passes,
     flowdenoising_sequential.py:419-424).  ``on_pass(i, volume)`` is invoked
-    after each completed pass.
+    after each completed pass.  ``owned`` asserts the caller hands over the
+    buffer: the pipeline may donate it without a defensive copy
+    (denoise_many's pre-staged volumes use this).
     """
     if not cfg.use_flow:
         return gaussian_denoise(vol, cfg.sigma, cfg.boundary, cfg.slab_size, kernels,
                                 start_pass=start_pass, mean_val=mean_val,
                                 on_pass=on_pass)
     kernels = get_gaussian_kernels(cfg.sigma) if kernels is None else kernels
-    vol = _owned_f32(vol)
+    if not (owned and isinstance(vol, jax.Array) and vol.dtype == jnp.float32):
+        vol = _owned_f32(vol)
     vol_shape = vol.shape
     if mean_val is None and cfg.boundary is Boundary.MEAN:
         mean_val = jnp.mean(vol)

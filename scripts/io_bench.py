@@ -95,6 +95,10 @@ def main():
         rows.append(("read i16 -> f32", dt_np, dt_nat))
 
         # --- write f32: native streamed vs tofile fallback ---
+        # Interleaved best-of with a sync between reps: disk writeback on
+        # this host swings raw write timings by >10x, so back-to-back
+        # single-path timing is meaningless (the second path inherits the
+        # first one's dirty pages).
         out = os.path.join(td, "out.mrc")
 
         def write_native():
@@ -109,8 +113,17 @@ def main():
             finally:
                 runtime.write_raw = orig
 
-        dt_np = best_of(args.reps, write_numpy)
-        dt_nat = best_of(args.reps, write_native)
+        dt_np = dt_nat = float("inf")
+        for _ in range(args.reps):
+            for which, fn in (("np", write_numpy), ("nat", write_native)):
+                os.sync()
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                if which == "np":
+                    dt_np = min(dt_np, dt)
+                else:
+                    dt_nat = min(dt_nat, dt)
         rows.append(("write f32 (incl. stats)", dt_np, dt_nat))
 
         gb = nbytes_f32 / 1e9

@@ -30,7 +30,7 @@ def main():
     from flowdenoising_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     import jax, jax.numpy as jnp
-    from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas
+    from flowdenoising_tpu.ops.pallas.umuf import umuf_pallas, umuf_iterate
     from flowdenoising_tpu.ops.farneback import poly_expand
 
     n = int(os.environ.get("PROBE_B", "128"))
@@ -79,6 +79,24 @@ def main():
         gb = (n*hw*hw*4*(5+5+2+2))/1e9
         print(f"{name:8s} b={n} {hw}^2 d={d} amp={amp}: {t*1e3:8.2f} ms   "
               f"({gb/t:6.1f} GB/s effective)", flush=True)
+
+    # 3-iteration chains: fused in-kernel vs one program per iteration
+    iters = int(os.environ.get("PROBE_ITERS", "3"))
+    chain_variants = [("ch-base", {}), ("ch-dynmxu", {"dyn": True, "mxu": True})]
+    sel = os.environ.get("PROBE_CHAINS")
+    if sel is not None:
+        names = sel.split(",")
+        chain_variants = [v for v in chain_variants if v[0] in names]
+    for name, kw in chain_variants:
+        for fused in (True, False):
+            t = timed(lambda f, a, b: umuf_iterate(a, b, f, iters, d, 5,
+                                                   fused=fused, **kw),
+                      flow, r0, r1)
+            gb = (n*hw*hw*4*(5+5+2+2))*iters/1e9
+            tag = f"{name}{'-fused' if fused else '-split'}"
+            print(f"{tag:16s} b={n} {hw}^2 d={d} amp={amp} iters={iters}: "
+                  f"{t*1e3:8.2f} ms ({t*1e3/iters:6.2f} ms/iter, "
+                  f"{gb/t:6.1f} GB/s eff)", flush=True)
 
 if __name__ == "__main__":
     main()
