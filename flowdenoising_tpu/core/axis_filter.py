@@ -29,6 +29,8 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,33 +111,59 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
     h, w = padded.shape[1], padded.shape[2]
     vol = padded[ks2:ks2 + n]
 
-    with matmul_precision(flow_cfg):
-        # Pyramid + polynomial expansion of every (padded) slice, computed once.
-        r_levels = polyexp_pyramid(padded, flow_cfg)
-        r0_levels = [r[ks2:ks2 + n] for r in r_levels]
+    # Prepped channel-first path (Pallas): everything tap-invariant -- the
+    # expansion pyramids, their padded kernel operand forms, the row-tile
+    # plan -- is prepared ONCE per pass; each tap's solve windows into the
+    # full-stack operands at a traced offset (scalar-prefetch index maps),
+    # so the tap loop carries no operand prep at all.
+    use_prepped = False
+    if (flow_cfg.max_displacement is not None
+            and flow_cfg.sampler in ("auto", "pallas")
+            and os.environ.get("FDTPU_PREPPED", "1") != "0"):
+        from flowdenoising_tpu.ops.pallas.sample import pallas_supported
+        use_prepped = pallas_supported()
 
+    with matmul_precision(flow_cfg):
         acc0 = vol * jnp.asarray(taps[ks2], dtype)
+
+        if use_prepped:
+            from flowdenoising_tpu.ops.farneback import prepped_tap_solver
+            solver = prepped_tap_solver(padded, ks2, n, flow_cfg)
+        else:
+            # Pyramid + polynomial expansion of every (padded) slice,
+            # computed once.
+            r_levels = polyexp_pyramid(padded, flow_cfg)
+            r0_levels = [r[ks2:ks2 + n] for r in r_levels]
 
         # Tap loop as lax.scan: the pyramid solver is traced/compiled once
         # instead of 2*ks2 times (compile-time critical at sigma=2 -> 17 taps).
         # The chained prev_flow is the scan carry (reference semantics:
-        # flowdenoising.py:310-324).
+        # flowdenoising.py:310-324); channel-first (n, 2, h, w) on the
+        # prepped path, channels-last (n, h, w, 2) otherwise.
         def body(carry, xs):
             prev_flow, acc = carry
             start, weight = xs
-            r1_levels = [
-                jax.lax.dynamic_slice_in_dim(r, start, n, axis=0)
-                for r in r_levels
-            ]
-            flow = flow_from_pyramids(
-                r0_levels, r1_levels, flow_cfg,
-                prev_flow if flow_cfg.use_initial_flow else None)
-            # Pallas kernels return float32 regardless of compute dtype;
-            # pin the scan carry types.
-            flow = flow.astype(dtype)
+            if use_prepped:
+                flow = solver(
+                    start, prev_flow if flow_cfg.use_initial_flow else None)
+                flow = flow.astype(dtype)
+                u, v = flow[:, 0], flow[:, 1]
+            else:
+                r1_levels = [
+                    jax.lax.dynamic_slice_in_dim(r, start, n, axis=0)
+                    for r in r_levels
+                ]
+                flow = flow_from_pyramids(
+                    r0_levels, r1_levels, flow_cfg,
+                    prev_flow if flow_cfg.use_initial_flow else None)
+                # Pallas kernels return float32 regardless of compute dtype;
+                # pin the scan carry types.
+                flow = flow.astype(dtype)
+                u, v = flow[..., 0], flow[..., 1]
             neighbor = jax.lax.dynamic_slice_in_dim(padded, start, n, axis=0)
-            warped = warp_slices(neighbor, flow, flow_cfg.max_displacement,
-                                 flow_cfg.sampler)
+            warped = displace_sample(neighbor, u, v,
+                                     flow_cfg.max_displacement,
+                                     flow_cfg.sampler)
             acc = acc + (warped * weight).astype(dtype)
             return (flow, acc), None
 
@@ -143,7 +171,9 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
             # Zero initial flow, derived from the (possibly shard_map-varying)
             # volume so the scan carry has consistent varying-manual-axes
             # typing inside shard_map.
-            prev_flow = jnp.zeros((n, h, w, 2), dtype=dtype) + vol[..., None] * 0
+            fshape = (n, 2, h, w) if use_prepped else (n, h, w, 2)
+            zref = vol[:, None] if use_prepped else vol[..., None]
+            prev_flow = jnp.zeros(fshape, dtype=dtype) + zref * 0
             xs = (jnp.asarray([ks2 + o for o in offsets], jnp.int32),
                   jnp.asarray(weights, dtype))
             (_, acc), _ = jax.lax.scan(body, (prev_flow, acc), xs)

@@ -79,10 +79,12 @@ def _axis_views():
     ]
 
 
-# Rough per-pass HBM working-set model for auto slab sizing: polynomial
-# expansion pyramid (5 ch x ~1.33 levels), constraint matrices (5 ch),
-# flows/accumulators/source copies (~6 ch-equivalents), all float32.
-_BYTES_PER_VOXEL = 4 * (5 * 1.4 + 5 + 6)
+# Rough per-pass HBM working-set model for auto slab sizing: the prepped
+# solve path keeps BOTH operand forms of the expansion pyramids live for
+# the whole pass -- the lane-padded target form (5 ch x ~1.33 levels) and
+# the edge-padded reference form (x ~1.25 pad growth) -- plus flow scan
+# carries, accumulators, and source copies (~8 ch-equivalents), float32.
+_BYTES_PER_VOXEL = 4 * (5 * 1.4 + 5 * 1.4 * 1.25 + 8)
 # Compose tap modes additionally hold two adjacent-flow stacks (2 ch x 2
 # directions) across the tap scan.
 _BYTES_PER_VOXEL_COMPOSE = _BYTES_PER_VOXEL + 4 * 4

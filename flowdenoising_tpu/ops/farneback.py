@@ -82,8 +82,12 @@ def poly_exp_constants(n: int, sigma: float):
     return g, xg, xxg, float(invG[1, 1]), float(invG[0, 3]), float(invG[3, 3]), float(invG[5, 5])
 
 
-def poly_expand(img: jnp.ndarray, n: int = 5, sigma: float = 1.2) -> jnp.ndarray:
-    """Quadratic polynomial expansion of (..., H, W) -> (..., H, W, 5).
+def poly_expand(img: jnp.ndarray, n: int = 5, sigma: float = 1.2,
+                channel_first: bool = False) -> jnp.ndarray:
+    """Quadratic polynomial expansion of (..., H, W) -> (..., H, W, 5)
+    (or (..., 5, H, W) with ``channel_first`` -- the layout the Pallas
+    solve kernels consume, produced directly so the hot path never pays a
+    5-channel transpose of the full expansion).
 
     Channels: [b_y, b_x, a_yy, a_xx, a_xy] in OpenCV's internal scaling.
     Border handling: replicate, both axes.
@@ -109,7 +113,7 @@ def poly_expand(img: jnp.ndarray, n: int = 5, sigma: float = 1.2) -> jnp.ndarray
         b1 * ig03 + b5 * ig33,
         b1 * ig03 + b4 * ig33,
         b6 * ig55,
-    ], axis=-1)
+    ], axis=-3 if channel_first else -1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -247,14 +251,11 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
             # "dyn", "mxu", "dyn,mxu").
             # "nofuse" reverts to one Pallas program per iteration instead
             # of all iterations chained inside one program per row tile.
-            opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu").split(",")
-            dyn = "dyn" in opts and not xwin
-            mxu = "mxu" in opts
+            kn = _umuf_opts(xwin)
             return umuf_iterate(r0, r1, flow.astype(r0.dtype),
                                 cfg.iterations, d, cfg.winsize,
                                 packed=packed and not xwin,
-                                xwin=xwin, dyn=dyn, mxu=mxu,
-                                fused="nofuse" not in opts)
+                                xwin=xwin, **kn)
     m = update_matrices(r0, r1, flow, d, cfg.sampler, packed=packed)
     for i in range(cfg.iterations):
         flow = update_flow(m, cfg.winsize, cfg.sampler)
@@ -282,11 +283,13 @@ def image_pyramid(img: jnp.ndarray, cfg: FlowConfig) -> list[jnp.ndarray]:
             for k in range(levels + 1)]
 
 
-def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig) -> list[jnp.ndarray]:
+def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig,
+                    channel_first: bool = False) -> list[jnp.ndarray]:
     """Per-level polynomial expansions (the cacheable heavy half of the flow
     computation -- the denoising pipeline computes this once per slice and
     reuses it for every tap pair)."""
-    return [poly_expand(i, cfg.poly_n, cfg.poly_sigma) for i in image_pyramid(img, cfg)]
+    return [poly_expand(i, cfg.poly_n, cfg.poly_sigma, channel_first)
+            for i in image_pyramid(img, cfg)]
 
 
 def flow_from_pyramids(r0_levels: list[jnp.ndarray], r1_levels: list[jnp.ndarray],
@@ -313,6 +316,78 @@ def flow_from_pyramids(r0_levels: list[jnp.ndarray], r1_levels: list[jnp.ndarray
             flow = jnp.moveaxis(f, -3, -1)
         flow = _iterate_level(r0_levels[k], r1_levels[k], flow, cfg, level=k)
     return flow
+
+
+def _umuf_opts(xwin: bool = False):
+    """Pallas iteration-kernel variant knobs (see _iterate_level)."""
+    opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu").split(",")
+    return {"dyn": "dyn" in opts and not xwin,
+            "mxu": "mxu" in opts,
+            "fused": "nofuse" not in opts}
+
+
+def prepped_tap_solver(padded: jnp.ndarray, interior_start: int, n: int,
+                       cfg: FlowConfig, interpret: bool = False):
+    """Per-pass factory for tap-pair Farneback solves with ALL operand prep
+    amortized (Pallas path only).
+
+    The reference solves one pair at a time inside cv2
+    (/root/reference/src/flowdenoising.py:69-79); the batched rebuild solves
+    all output slices of a pass at once, and THIS factory additionally
+    hoists everything that is tap-invariant out of the tap loop: the
+    channel-first polynomial-expansion pyramids of the whole padded stack,
+    their lane/edge-padded kernel operand forms, and the row-tile plan.
+    Per tap, the returned ``solve(start, init_flow_cf)`` only resizes the
+    seed flow and runs the fused iteration kernels, which window into the
+    full-stack reference operand at traced batch offset ``start`` via
+    scalar-prefetch index maps -- no per-tap operand copies at all.
+
+    padded: (N + 2*ks2, H, W) stack; target = slices
+    [interior_start, interior_start + n).  ``solve`` returns flow
+    (n, 2, H, W) float32, channel 0 = x displacement, numerically identical
+    to ``flow_from_pyramids`` on the corresponding slices.
+    """
+    from flowdenoising_tpu.ops.pallas import umuf as _umuf
+
+    h, w = padded.shape[-2], padded.shape[-1]
+    levels = cfg.clamped_levels(h, w)
+    sizes = pyramid_sizes(h, w, levels, cfg.pyr_scale)
+    packed = cfg.precision == "bfloat16"
+    kn = _umuf_opts()
+    r_levels = polyexp_pyramid(padded, cfg, channel_first=True)
+    preps = []
+    for k, r in enumerate(r_levels):
+        d_k = _level_displacement(cfg, k)
+        hk, wk = sizes[k]
+        r0_tiles, r1_tiles, tiles = _umuf.prep_tiles_cf(
+            r, d_k, wk, cfg.winsize, cfg.iterations, packed=packed,
+            dyn=kn["dyn"], fused=kn["fused"],
+            interior=(interior_start, n))
+        preps.append((r0_tiles, r1_tiles, tiles, hk, wk, d_k))
+
+    def solve(start, init_flow_cf=None):
+        flow = None
+        for k in range(levels, -1, -1):
+            r0_tiles, r1_tiles, tiles, hk, wk, d_k = preps[k]
+            if flow is None:
+                if cfg.use_initial_flow and init_flow_cf is not None:
+                    scale = cfg.pyr_scale ** k
+                    flow = (resize_area(init_flow_cf.astype(jnp.float32),
+                                        (hk, wk)) * scale)
+                else:
+                    flow = jnp.zeros((n, 2, hk, wk), jnp.float32)
+            else:
+                flow = resize_linear(flow, (hk, wk)) * (1.0 / cfg.pyr_scale)
+            fpad = _umuf._lane_pad_flow_cf(flow, wk)
+            fpad = _umuf.umuf_iterate_prepped(
+                r0_tiles, r1_tiles, tiles, fpad, cfg.iterations, d_k,
+                cfg.winsize, h=hk, w=wk, r1_start=start, packed=packed,
+                dyn=kn["dyn"], mxu=kn["mxu"], fused=kn["fused"],
+                interpret=interpret)
+            flow = fpad[:, :, :, :wk]
+        return flow
+
+    return solve
 
 
 def matmul_precision(cfg: FlowConfig):

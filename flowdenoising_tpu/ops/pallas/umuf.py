@@ -419,37 +419,62 @@ def _box_mats(th: int, hm: int, w_out: int, w_true: int, a: int, m0: int,
     return bh, bw
 
 
-def _prepare_cf(r0cf, r1cf, d: int, w: int, packed: bool, dyn: bool):
-    """One-time per (tap, level) data prep shared by every iteration:
-    channel-first lane-padded r0 and row+lane edge-padded (optionally
-    bf16-pair packed) r1.  Hoisting this out of the iteration loop removes
-    ~2/3 of the XLA-side data movement of the old per-call API."""
+def prepare_r0_cf(r0cf, w: int):
+    """r0 operand form: channel-first, zero lane padding to w_out.  A no-op
+    (alias) when the plane width is already lane-aligned."""
+    w_out = _round_up(w, _LANE)
+    r0cf = r0cf.astype(jnp.float32)
+    if w_out == w:
+        return r0cf
+    return jnp.pad(r0cf, ((0, 0),) * (r0cf.ndim - 1) + ((0, w_out - w),))
+
+
+def prepare_r1_cf(r1cf, d: int, w: int, packed: bool, dyn: bool):
+    """r1 operand form: channel-first with m=d+1 edge-replicated context
+    rows/cols (plus a lane of right padding for the two-window gather),
+    optionally bf16-pair packed, plus throwaway rows for dyn mode's
+    8-aligned dynamic windows."""
     m = d + 1
     w_out = _round_up(w, _LANE)
     w_src = w_out + _LANE
-    r0_p = jnp.pad(r0cf.astype(jnp.float32),
-                   ((0, 0), (0, 0), (0, 0), (0, w_out - w)))
+    lead = ((0, 0),) * (r1cf.ndim - 3)
     r1p = jnp.pad(r1cf.astype(jnp.float32),
-                  ((0, 0), (0, 0), (m, m), (m, w_src - w - m)), mode="edge")
+                  lead + ((0, 0), (m, m), (m, w_src - w - m)), mode="edge")
     if packed:
         r1p = pack_pairs(r1p)
     if dyn:
         # throwaway rows so the 8-aligned dynamic window (rounded up to a
         # sublane multiple, <= hm+14 rows) never overruns
-        r1p = jnp.pad(r1p, ((0, 0), (0, 0), (0, _DYN_PAD), (0, 0)))
-    return r0_p, r1p
+        r1p = jnp.pad(r1p, lead + ((0, 0), (0, _DYN_PAD), (0, 0)))
+    return r1p
+
+
+def _prepare_cf(r0cf, r1cf, d: int, w: int, packed: bool, dyn: bool):
+    """One-time per (tap, level) data prep shared by every iteration:
+    channel-first lane-padded r0 and row+lane edge-padded (optionally
+    bf16-pair packed) r1.  Hoisting this out of the iteration loop removes
+    ~2/3 of the XLA-side data movement of the old per-call API."""
+    return (prepare_r0_cf(r0cf, w),
+            prepare_r1_cf(r1cf, d, w, packed, dyn))
 
 
 def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
                a: int, m0: int, h_true: int, w: int, interpret: bool,
                iters: int = 1, packed: bool = False, xwin: bool = False,
                dyn: bool = False, mxu: bool = False,
-               _phases: str = "both"):
+               r1_start=None, _phases: str = "both"):
     """One row tile, PRE-PREPARED operands (see _prepare_cf): r0_t
     (b, 5, hm, w_out); r1_t (b, 5, hm+2m[+pad], w_src) [packed dtype when
     packed]; u_t, v_t (b, hm, w_out) with zeroed pad lanes.  ``iters``
     chained iterations run inside the program (caller must size the row
-    context for r*iters)."""
+    context for r*iters).
+
+    ``r1_start``: optional TRACED batch offset into r1_t.  When set, r1_t
+    may hold MORE batch elements than r0_t (the whole padded stack's
+    prepared expansion) and each program DMAs its block from batch element
+    ``r1_start + bb`` via a scalar-prefetch index map -- the per-tap
+    dynamic-slice copy of the reference window never materializes.
+    """
     b, c, hm, w_out = r0_t.shape
     m = d + 1
     assert iters == 1 or _phases == "both"
@@ -459,49 +484,78 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
     mxu = mxu and w_out <= 512
     w_src = w_out + _LANE
     r1_rows = r1_t.shape[2]
+    prefetch = r1_start is not None
+
+    def _spec(shape, imap):
+        if prefetch:
+            # index maps receive (*grid, *scalar_refs)
+            return pl.BlockSpec(shape, lambda bb, s, _f=imap: _f(bb),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    if prefetch:
+        r1_spec = pl.BlockSpec((1, _CH, r1_rows, w_src),
+                               lambda bb, s: (s[0] + bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        r1_spec = _spec((1, _CH, r1_rows, w_src), lambda bb: (bb, 0, 0, 0))
 
     in_specs = [
-        pl.BlockSpec((1, _CH, hm, w_out), lambda bb: (bb, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, _CH, r1_rows, w_src), lambda bb: (bb, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hm, w_out), lambda bb: (bb, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hm, w_out), lambda bb: (bb, 0, 0),
-                     memory_space=pltpu.VMEM),
+        _spec((1, _CH, hm, w_out), lambda bb: (bb, 0, 0, 0)),
+        r1_spec,
+        _spec((1, hm, w_out), lambda bb: (bb, 0, 0)),
+        _spec((1, hm, w_out), lambda bb: (bb, 0, 0)),
     ]
     inputs = [r0_t, r1_t, u_t, v_t]
     if mxu:
         bh, bw = _box_mats(th, hm, w_out, w, a, m0, winsize // 2)
         inputs += [jnp.asarray(bh)]
-        in_specs += [pl.BlockSpec((th, hm), lambda bb: (0, 0),
-                                  memory_space=pltpu.VMEM)]
+        in_specs += [_spec((th, hm), lambda bb: (0, 0))]
         if iters > 1:
             # full-range Bh for the intermediate in-kernel iterations
             bhf, _ = _box_mats(hm, hm, w_out, w, m0, m0, winsize // 2)
             inputs += [jnp.asarray(bhf)]
-            in_specs += [pl.BlockSpec((hm, hm), lambda bb: (0, 0),
-                                      memory_space=pltpu.VMEM)]
+            in_specs += [_spec((hm, hm), lambda bb: (0, 0))]
         inputs += [jnp.asarray(bw)]
-        in_specs += [pl.BlockSpec((w_out, w_out), lambda bb: (0, 0),
-                                  memory_space=pltpu.VMEM)]
+        in_specs += [_spec((w_out, w_out), lambda bb: (0, 0))]
     scratch = [pltpu.VMEM((_CH, hm, w_out), jnp.float32),
                pltpu.VMEM((_CH, hm, _LANE), jnp.float32)]
     if iters > 1:
         scratch.append(pltpu.VMEM((2, hm, w_out), jnp.float32))
+    kernel = functools.partial(
+        _umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
+        w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
+        iters=iters, packed=packed, xwin=xwin, dyn=dyn,
+        mxu=mxu, zero_tail=w_out > w, _phases=_phases)
+    out_shape = jax.ShapeDtypeStruct((b, 2, th, w_out), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if prefetch:
+        def kernel_pf(s_ref, *refs):
+            del s_ref
+            kernel(*refs)
+        return pl.pallas_call(
+            kernel_pf,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, 2, th, w_out),
+                                       lambda bb, s: (bb, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=scratch),
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=interpret,
+        )(jnp.asarray(r1_start, jnp.int32).reshape(1), *inputs)
     return pl.pallas_call(
-        functools.partial(_umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
-                          w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
-                          iters=iters, packed=packed, xwin=xwin, dyn=dyn,
-                          mxu=mxu, zero_tail=w_out > w, _phases=_phases),
+        kernel,
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2, th, w_out), lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, th, w_out), jnp.float32),
+        out_shape=out_shape,
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=params,
         interpret=interpret,
     )(*inputs)
 
@@ -555,6 +609,72 @@ def _lane_pad_flow_cf(flow_cf, w):
     if w_out == w:
         return flow_cf
     return jnp.pad(flow_cf, ((0, 0), (0, 0), (0, 0), (0, w_out - w)))
+
+
+def prep_tiles_cf(rcf_full, d: int, w: int, winsize: int, iters: int, *,
+                  packed: bool = False, dyn: bool = False, fused: bool = True,
+                  interior: tuple[int, int] | None = None):
+    """Per-(pass, level) one-time operand prep of a FULL padded-stack
+    expansion, row-tiled.
+
+    rcf_full: (B, 5, H, W) channel-first polynomial expansion of every slice
+    of a padded stack.  Returns (r0_tiles, r1_tiles, tiles): per row tile,
+    the target-form rows (r0: lane-padded, batch cut to ``interior`` =
+    (start, n)) and the reference-form rows (r1: edge-padded/packed, FULL
+    batch -- umuf_iterate_prepped windows into it per tap with a traced
+    ``r1_start``, so the per-tap reference copy never materializes).
+
+    Running this once per pass (instead of re-preparing per tap) is what
+    removes the per-(tap, level) transposes/pads that dominated the old
+    per-call prep (scripts/pass_breakdown.py)."""
+    h = rcf_full.shape[-2]
+    m = d + 1
+    r = winsize // 2
+    in_k = iters if fused else 1
+    margin = r * in_k
+    tiles = plane_row_tiles(
+        h, lambda th: umuf_fits_vmem(th, w, d, winsize, in_k))
+    r0_p = prepare_r0_cf(rcf_full, w)
+    if interior is not None:
+        s0, n = interior
+        r0_p = jax.lax.slice_in_dim(r0_p, s0, s0 + n, axis=0)
+    r1p = prepare_r1_cf(rcf_full, d, w, packed, dyn)
+    r0_tiles, r1_tiles = [], []
+    for a, th in tiles:
+        m0 = max(0, a - margin)
+        m1 = min(h, a + th + margin)
+        r1_hi = m1 + 2 * m + (_DYN_PAD if dyn else 0)
+        r0_tiles.append(r0_p[:, :, m0:m1])
+        r1_tiles.append(r1p[:, :, m0:r1_hi])
+    return r0_tiles, r1_tiles, tiles
+
+
+def umuf_iterate_prepped(r0_tiles, r1_tiles, tiles, flow_cf, iters: int,
+                         d: int, winsize: int, *, h: int, w: int, r1_start,
+                         packed: bool = False, dyn: bool = False,
+                         mxu: bool = False, fused: bool = True,
+                         interpret: bool = False) -> jnp.ndarray:
+    """``iters`` chained fused Farneback iterations over PRE-TILED operands
+    (see ``prep_tiles_cf``), channel-first.
+
+    flow_cf: (b, 2, h, w_out) with ZERO pad lanes; r1_start: traced int32
+    batch offset of the reference window inside the full-stack r1 tiles.
+    Returns the updated flow, bitwise-identical to ``umuf_iterate`` on the
+    materialized window."""
+    in_k = iters if fused else 1
+    margin = (winsize // 2) * in_k
+    for _ in range(iters // in_k):
+        outs = []
+        for (a, th), r0_t, r1_t in zip(tiles, r0_tiles, r1_tiles):
+            m0 = max(0, a - margin)
+            m1 = min(h, a + th + margin)
+            outs.append(_umuf_call(
+                r0_t, r1_t, flow_cf[:, 0, m0:m1], flow_cf[:, 1, m0:m1],
+                d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
+                interpret=interpret, iters=in_k, packed=packed,
+                dyn=dyn, mxu=mxu, r1_start=r1_start))
+        flow_cf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+    return flow_cf
 
 
 def umuf_iterate(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,

@@ -74,7 +74,36 @@ def main():
     d0 = cfg.max_displacement
 
     rng = np.random.default_rng(0)
-    vol = jnp.asarray(rng.normal(size=(n, hw, hw)).astype(np.float32) * 50)
+    if os.environ.get("PROBE_NOISE", "0") == "1":
+        # pure-noise volume: flows are garbage-large, upper-bounds the dyn
+        # kernel's shift window
+        vol = jnp.asarray(rng.normal(size=(n, hw, hw)).astype(np.float32) * 50)
+        flow_amp = 1.0
+        smooth = False
+    else:
+        # drifting-blob volume (bench.py's make_volume): realistic flow
+        # magnitudes, the regime the dyn kernel is tuned for
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "benchmod", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench.py"))
+        benchmod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(benchmod)
+        vol = jnp.asarray(benchmod.make_volume(n, hw, hw, seed=0))
+        flow_amp = 3.0
+        smooth = True
+
+    def synth_flow(shape):
+        f = rng.normal(size=shape).astype(np.float32)
+        if smooth:
+            from scipy.ndimage import gaussian_filter
+            for i in range(shape[0]):
+                for c in range(shape[-1]):
+                    f[i, ..., c] = gaussian_filter(f[i, ..., c], 8.0)
+            f *= flow_amp / (np.abs(f).max() + 1e-9)
+        return jnp.asarray(f)
     padded = pad_stack(vol, ks2, Boundary.WRAP)
     npad = n + 2 * ks2
 
@@ -97,7 +126,7 @@ def main():
     r1_lv = [r[0:n] for r in r_levels]
     for r in r0_lv:
         sync(r)
-    flow0 = jnp.asarray(rng.normal(size=(n, hw, hw, 2)).astype(np.float32))
+    flow0 = synth_flow((n, hw, hw, 2))
 
     t_solve = timed(
         lambda f, a, b: flow_from_pyramids(a, b, cfg, f).astype(jnp.float32),
@@ -113,7 +142,7 @@ def main():
         dk = _level_displacement(cfg, k)
         r0k = r0_lv[k]
         r1k = r1_lv[k]
-        fk = jnp.asarray(rng.normal(size=(n, hk, wk, 2)).astype(np.float32))
+        fk = synth_flow((n, hk, wk, 2))
         reps = 8 if k == 0 else 32
         t = timed(lambda f, a, b: umuf_iterate(a, b, f, cfg.iterations, dk,
                                                cfg.winsize, dyn=True, mxu=True),

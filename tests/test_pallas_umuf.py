@@ -3,6 +3,7 @@
 benchmark and scripts/verify_tpu.py)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -197,3 +198,119 @@ def test_dyn_mxu_row_tiling_exact(monkeypatch):
     np.testing.assert_allclose(tiled, full, atol=1e-6)
     ref = _split_ref(R0, R1, flow, 3, 5)
     np.testing.assert_allclose(tiled, ref, atol=5e-4, rtol=1e-4)
+
+
+# ---- prepped full-stack path (prep once per pass, scalar-prefetch window) ----
+
+def _stack_setup(B=10, h=20, w=36, seed=21, flow_scale=2.0):
+    r = np.random.default_rng(seed)
+    stack = jnp.asarray(r.normal(size=(B, h, w)).astype(np.float32) * 40)
+    Rcf = F.poly_expand(stack, channel_first=True)      # (B, 5, h, w)
+    return stack, Rcf, r
+
+
+@pytest.mark.parametrize("kw", [dict(), dict(dyn=True, mxu=True)])
+@pytest.mark.parametrize("start,w", [(0, 36), (3, 36), (3, 128)])
+def test_prepped_window_matches_umuf_iterate(kw, start, w):
+    # umuf_iterate_prepped windowing into the FULL stack operand at a traced
+    # offset must equal umuf_iterate on the materialized window -- across
+    # offsets, lane-aligned and unaligned widths, and kernel variants.
+    n, d, winsize, iters = 4, 3, 5, 3
+    stack, Rcf, r = _stack_setup(B=n + 6, w=w)
+    flow = jnp.asarray((r.normal(size=(n, Rcf.shape[-2], w, 2)) * 2.0)
+                       .astype(np.float32))
+    r0cf = Rcf[2:2 + n]
+    r1cf = jax.lax.dynamic_slice_in_dim(Rcf, start, n, axis=0)
+    ref = np.asarray(U.umuf_iterate(
+        jnp.moveaxis(r0cf, 1, -1), jnp.moveaxis(r1cf, 1, -1), flow,
+        iters, d, winsize, interpret=True, **kw))
+
+    r0_tiles, r1_tiles, tiles = U.prep_tiles_cf(
+        Rcf, d, w, winsize, iters, dyn=kw.get("dyn", False),
+        interior=(2, n))
+    fcf = U._lane_pad_flow_cf(jnp.moveaxis(flow, -1, 1), w)
+    out = U.umuf_iterate_prepped(
+        r0_tiles, r1_tiles, tiles, fcf, iters, d, winsize,
+        h=Rcf.shape[-2], w=w, r1_start=jnp.int32(start),
+        interpret=True, **kw)
+    out = np.asarray(jnp.moveaxis(out[:, :, :, :w], 1, -1))
+    np.testing.assert_allclose(out, ref, atol=0)
+
+
+def test_prepped_window_row_tiled(monkeypatch):
+    # Forced multi-tile prep: per-tile full-stack row slices + traced batch
+    # window must be tile-invariant.
+    n, d, winsize, iters = 3, 3, 5, 3
+    stack, Rcf, r = _stack_setup(B=n + 5, h=48, w=40, seed=22)
+    flow = jnp.asarray((r.normal(size=(n, 48, 40, 2)) * 2.0)
+                       .astype(np.float32))
+    ref = np.asarray(U.umuf_iterate(
+        jnp.moveaxis(Rcf[1:1 + n], 1, -1),
+        jnp.moveaxis(Rcf[4:4 + n], 1, -1), flow,
+        iters, d, winsize, interpret=True, dyn=True, mxu=True))
+
+    orig = U.umuf_fits_vmem
+    monkeypatch.setattr(U, "umuf_fits_vmem",
+                        lambda th, w, dd, ws, it=1: th <= 16
+                        and orig(th, w, dd, ws, it))
+    r0_tiles, r1_tiles, tiles = U.prep_tiles_cf(
+        Rcf, d, 40, winsize, iters, dyn=True, interior=(1, n))
+    assert len(tiles) > 1
+    fcf = U._lane_pad_flow_cf(jnp.moveaxis(flow, -1, 1), 40)
+    out = U.umuf_iterate_prepped(
+        r0_tiles, r1_tiles, tiles, fcf, iters, d, winsize,
+        h=48, w=40, r1_start=jnp.int32(4), interpret=True,
+        dyn=True, mxu=True)
+    out = np.asarray(jnp.moveaxis(out[:, :, :, :40], 1, -1))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("seeded", [True, False])
+def test_prepped_tap_solver_matches_flow_from_pyramids(seeded):
+    # Full coarse-to-fine parity: the per-pass prepped solver (channel-first
+    # pyramids, hoisted prep, traced reference window) vs flow_from_pyramids
+    # on the materialized slices, seeded and unseeded.
+    from flowdenoising_tpu.config import FlowConfig
+    n, ks2 = 4, 2
+    cfg = FlowConfig(levels=2, winsize=5, use_initial_flow=seeded,
+                     max_displacement=4)
+    stack, _, r = _stack_setup(B=n + 2 * ks2, h=80, w=72, seed=23)
+    init = jnp.asarray((r.normal(size=(n, 80, 72, 2)) * 1.5)
+                       .astype(np.float32)) if seeded else None
+
+    r_levels = F.polyexp_pyramid(stack, cfg)
+    levels = len(r_levels) - 1   # clamped_levels trims below 32px planes
+    assert levels >= 1
+    r0_levels = [x[ks2:ks2 + n] for x in r_levels]
+    start = 1
+    r1_levels = [jax.lax.dynamic_slice_in_dim(x, start, n, axis=0)
+                 for x in r_levels]
+    # reference: force the Pallas interpret path through _iterate_level by
+    # computing per-level with umuf_iterate directly
+    flow_ref = None
+    from flowdenoising_tpu.ops.farneback import _level_displacement, _umuf_opts
+    from flowdenoising_tpu.ops.resize import resize_area, resize_linear
+    kn = _umuf_opts()
+    for k in range(levels, -1, -1):
+        hk, wk = r0_levels[k].shape[-3], r0_levels[k].shape[-2]
+        if flow_ref is None:
+            if seeded:
+                f = jnp.moveaxis(init, -1, -3)
+                f = resize_area(f, (hk, wk)) * (cfg.pyr_scale ** k)
+                flow_ref = jnp.moveaxis(f, -3, -1)
+            else:
+                flow_ref = jnp.zeros((n, hk, wk, 2), jnp.float32)
+        else:
+            f = jnp.moveaxis(flow_ref, -1, -3)
+            f = resize_linear(f, (hk, wk)) * (1.0 / cfg.pyr_scale)
+            flow_ref = jnp.moveaxis(f, -3, -1)
+        flow_ref = U.umuf_iterate(r0_levels[k], r1_levels[k], flow_ref,
+                                  cfg.iterations, _level_displacement(cfg, k),
+                                  cfg.winsize, interpret=True, **kn)
+    ref = np.asarray(flow_ref)
+
+    solver = F.prepped_tap_solver(stack, ks2, n, cfg, interpret=True)
+    out = solver(jnp.int32(start),
+                 jnp.moveaxis(init, -1, 1) if seeded else None)
+    out = np.asarray(jnp.moveaxis(out, 1, -1))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
