@@ -57,7 +57,9 @@ def make_volume(n, h, w, seed=0):
         vol[z] = base[iy:iy + h, ix:ix + w]
         oy = min(max(oy + rng.uniform(-0.7, 0.7), 0), 2 * pad - 1)
         ox = min(max(ox + rng.uniform(-0.7, 0.7), 0), 2 * pad - 1)
-    vol += rng.normal(scale=8.0, size=vol.shape).astype(np.float32)
+    # float32 noise stream: ~4x faster than normal()+astype on this host
+    # (vol gen was 147s of a 512^3 bench run with the float64 stream)
+    vol += 8.0 * rng.standard_normal(size=vol.shape, dtype=np.float32)
     return vol
 
 
@@ -116,6 +118,25 @@ def bench_cpu_reference(z, h, w, sigma, levels, winsize):
     # full pipeline = 3 such passes over the same voxel count
     rate = voxels / (3 * dt_pass) / 1e6
     return rate
+
+
+def gather_issue_model_s(voxels, ks2, iters, levels=3, shifts=3.0,
+                         gathers_per_shift=4.0, lanes=128, ghz=0.94):
+    """Analytic floor from the sampling kernel's DynamicGatherOp issue rate.
+
+    The fused Farneback iteration is gather-issue-bound, not HBM-bound
+    (scripts/pass_breakdown.py): per (channel, active y-shift) the
+    two-window bilinear lane gather issues ~4 vreg gathers, and Mosaic
+    retires ~1 per cycle.  Per voxel per pass: taps x pyramid-factor x
+    iters x 5 channels x avg-active-shifts x 4 / 128 lanes.  ``shifts`` is
+    data-dependent (the dyn window covers the block's true flow range;
+    smooth drift => ~2-3).
+    """
+    taps = 2 * ks2
+    pyr = 4.0 / 3.0
+    vreg_gathers = (voxels * 3 * taps * pyr * iters * 5 * shifts
+                    * gathers_per_shift / lanes)
+    return vreg_gathers / (ghz * 1e9)
 
 
 def hbm_model_bytes_per_voxel(ks2, iters, tap_mode, precision):
@@ -212,10 +233,16 @@ def main():
     # --- roofline ---
     bpv_solve = hbm_model_bytes_per_voxel(ks2, 3, "solve", "float32")
     achieved = voxels * bpv_solve / dt_solve / 1e9
+    gather_floor = gather_issue_model_s(voxels, ks2, 3)
     roofline = {
         "hbm_model_bytes_per_voxel_solve": round(bpv_solve, 1),
         "achieved_GBps_solve": round(achieved, 1),
         "hbm_roofline_pct_solve": round(100.0 * achieved / V5E_HBM_GBPS, 1),
+        # the binding resource: DynamicGatherOp issue rate of the sampling
+        # kernel (see gather_issue_model_s); solve time over this floor
+        "gather_issue_floor_s_solve": round(gather_floor, 2),
+        "gather_issue_floor_pct_solve": round(
+            100.0 * gather_floor / dt_solve, 1),
     }
     if fast is not None:
         bpv_fast = hbm_model_bytes_per_voxel(ks2, 3, "compose", "bfloat16")

@@ -106,6 +106,14 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
          dict(tap_mode="compose", precision="bfloat16",
               symmetric_adjacent=True)),
     ]
+    # One jitted executable per config, shared across all noise levels
+    # (shapes are identical) -- without this, each (config, noise) pair
+    # recompiles and the evaluation is compile-bound.
+    jits = {}
+    for name, over in configs:
+        cfg = FilterConfig(sigma=sig, boundary=Boundary.WRAP,
+                           flow=FlowConfig(levels=L, winsize=W, **over))
+        jits[name] = jax.jit(lambda x, c=cfg: denoise(x, c))
 
     for noise in noises:
         rng = np.random.default_rng(1234 + int(noise))
@@ -132,9 +140,7 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
 
         v = jax.device_put(jnp.asarray(noisy))
         for name, over in configs:
-            cfg = FilterConfig(sigma=sig, boundary=Boundary.WRAP,
-                               flow=FlowConfig(levels=L, winsize=W, **over))
-            jfn = jax.jit(lambda x, c=cfg: denoise(x, c))
+            jfn = jits[name]
             out = jfn(v)
             _ = float(out[0, 0, 0])
             t0 = time.perf_counter()
@@ -149,6 +155,8 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
 
 
 def main():
+    from flowdenoising_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-n", type=int, default=32)
     p.add_argument("--hw", type=int, default=128)
