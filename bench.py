@@ -88,19 +88,27 @@ def bench_tpu(vol, cfg):
 
 def bench_tpu_batch(vols, cfg):
     """Throughput mode (BASELINE config 5): denoise a stream of volumes via
-    denoise_many so dispatch of volume i+1 overlaps device compute of
-    volume i.  Returns per-volume seconds in steady state."""
+    denoise_many -- a background thread stages volume i+1 (host copy + H2D)
+    while volume i computes.  Returns per-volume seconds including the
+    staged host->device transfers.
+
+    Warmup is ONE single-volume run (compiles all pass executables); the
+    batch itself is then timed once, streaming from host memory.  Repeating
+    large batch calls in one process degrades on the remote-PJRT transport
+    (deferred deallocation churn), so the first post-warm batch is the
+    representative steady-state figure.
+    """
     import jax
     import jax.numpy as jnp
-    from flowdenoising_tpu.core.pipeline import denoise_many
+    from flowdenoising_tpu.core.pipeline import denoise, denoise_many
 
-    vs = [jax.device_put(jnp.asarray(v)) for v in vols]
-    outs = denoise_many(vs, cfg)           # warmup + compile
-    float(outs[-1][0, 0, 0])
+    out = denoise(jnp.asarray(vols[0]), cfg)   # warmup + compile
+    float(out[0, 0, 0])
+    del out
     t0 = time.perf_counter()
-    outs = denoise_many(vs, cfg)
+    outs = denoise_many(list(vols), cfg)
     float(outs[-1][0, 0, 0])
-    return (time.perf_counter() - t0) / len(vs)
+    return (time.perf_counter() - t0) / len(vols)
 
 
 def bench_cpu_reference(z, h, w, sigma, levels, winsize):
@@ -193,7 +201,14 @@ def main():
 
     if mode == "batch":
         cfg = make_cfg("compose", "bfloat16", True)
-        vols = [make_volume(size, size, size, seed=s) for s in range(4)]
+        # Derive the stream from ONE generated volume and ONE noise array
+        # (rolled differently per volume): contents stay distinct (no
+        # device-side aliasing, realistic flow stats) while avoiding
+        # ~2 min/volume of host-side RNG on this 1-core machine.
+        rng = np.random.default_rng(99)
+        noise = rng.standard_normal(size=vol.shape, dtype=np.float32) * 4.0
+        vols = [np.roll(vol, 5 * s, axis=0) + np.roll(noise, 31 * s, axis=2)
+                for s in range(int(os.environ.get("BENCH_BATCH_N", "4")))]
         dt = bench_tpu_batch(vols, cfg)
         print(json.dumps({
             "metric": f"OF denoise batch-of-4 throughput, {size}^3 "

@@ -192,12 +192,13 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
     """Throughput mode: denoise a stream of equally-shaped volumes.
 
     True double-buffered streaming (the reference has no analogue; this is
-    BASELINE.json config 5): host volumes are pre-staged onto the device
-    with an explicit async ``jax.device_put`` BEFORE the preceding volume's
-    compute is drained, so the H2D transfer of volume i+1 overlaps compute
-    of volume i by construction -- not just by dispatch-queue luck.  Staged
-    buffers are handed to :func:`denoise` as ``owned``, so the first pass
-    donates them with no defensive on-device copy.
+    BASELINE.json config 5): host volumes are staged onto the device by a
+    BACKGROUND thread (dtype conversion + ``jax.device_put``) while the
+    main thread dispatches compute, so the host-side staging cost and the
+    H2D transfer of volume i+1 overlap compute of volume i by construction
+    -- not just by dispatch-queue luck.  Staged buffers are handed to
+    :func:`denoise` as ``owned``, so the first pass donates them with no
+    defensive on-device copy.
 
     ``window`` bounds how many volumes are staged + in flight at once so
     the working sets cannot exhaust HBM at large volume sizes; window=2 is
@@ -206,36 +207,42 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
     Returns a list of on-device results.
     """
     import collections
+    import concurrent.futures
     import itertools
 
     it = iter(vols)
     staged = collections.deque()
 
-    def stage(v):
-        if not (isinstance(v, jax.Array) and v.dtype == jnp.float32):
-            v = jax.device_put(np.asarray(v, dtype=np.float32))
-            owned = True
-        else:
-            owned = False  # caller-held device array: denoise copies it
-        staged.append((v, owned))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        def _put(v):
+            return jax.device_put(np.asarray(v, dtype=np.float32)), True
 
-    for v in itertools.islice(it, max(1, window)):
-        stage(v)
+        def stage(v):
+            if isinstance(v, jax.Array) and v.dtype == jnp.float32:
+                # caller-held device array: denoise copies it (not donated)
+                done = concurrent.futures.Future()
+                done.set_result((v, False))
+                staged.append(done)
+            else:
+                staged.append(pool.submit(_put, v))
 
-    outs = []
-    while staged:
-        v, owned = staged.popleft()
-        outs.append(denoise(v, cfg, kernels=kernels, owned=owned))
-        del v
-        # Stage the next volume NOW: its H2D runs while the volume just
-        # dispatched computes.
-        nxt = next(it, None)
-        if nxt is not None:
-            stage(nxt)
-        if len(outs) > window:
-            outs[-window - 1].block_until_ready()
-    for o in outs:
-        o.block_until_ready()
+        for v in itertools.islice(it, max(1, window)):
+            stage(v)
+
+        outs = []
+        while staged:
+            v, owned = staged.popleft().result()
+            outs.append(denoise(v, cfg, kernels=kernels, owned=owned))
+            del v
+            # Stage the next volume NOW: its host copy + H2D run on the
+            # staging thread while the volume just dispatched computes.
+            nxt = next(it, None)
+            if nxt is not None:
+                stage(nxt)
+            if len(outs) > window:
+                outs[-window - 1].block_until_ready()
+        for o in outs:
+            o.block_until_ready()
     return outs
 
 
