@@ -65,9 +65,19 @@ def main():
 
     print(f"shape={shape} tap={tap} prec={prec} sym={sym} slab={slab}", flush=True)
     t0 = time.perf_counter()
-    vol = make_volume(shape)
-    print(f"volume built in {time.perf_counter()-t0:.1f}s "
-          f"({vol.nbytes/2**30:.2f} GiB)", flush=True)
+    # Volume generation takes minutes on a 1-core host; cache it on tmpfs
+    # so repeated timing attempts (e.g. riding the XLA compile cache
+    # through a bounded wall-clock window) skip the rebuild.
+    cache = f"/dev/shm/bigvol_{shape[0]}x{shape[1]}x{shape[2]}.npy"
+    if os.path.exists(cache):
+        vol = np.load(cache)
+        print(f"volume loaded from {cache} in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    else:
+        vol = make_volume(shape)
+        np.save(cache, vol)
+        print(f"volume built in {time.perf_counter()-t0:.1f}s "
+              f"({vol.nbytes/2**30:.2f} GiB)", flush=True)
 
     v = vol
     if reps > 1 and os.environ.get("BIG_STAGE", "0") == "1":
