@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="Persist the volume after each completed axis pass here and "
                         "resume from the last completed pass on restart")
+    p.add_argument("--stream", action="store_true",
+                   help="Disk-streamed passes for volumes larger than host "
+                        "RAM: the volume stays memory-mapped on disk and "
+                        "each pass streams axis slabs through the device "
+                        "(scratch memmaps ping-pong between passes; "
+                        "bitwise-identical to the in-memory pipeline)")
     p.add_argument("--tiff_quantize", action="store_true",
                    help="Quantize TIFF output like the reference sequential "
                         "variant: uint8 if max < 256 else uint16 "
@@ -135,8 +141,14 @@ def main(argv=None) -> int:
 
     with prof.phase("read"):
         # as_f32 takes the native libfdio fused decode/convert path for MRC
-        # (the pipeline always consumes float32).
-        vol = read_volume(args.input, memory_map=args.memory_map, as_f32=True)
+        # (the pipeline always consumes float32).  Streamed mode keeps the
+        # volume memory-mapped on disk in its stored dtype; windows are
+        # converted per slab.
+        if args.stream:
+            vol = read_volume(args.input, memory_map=True)
+        else:
+            vol = read_volume(args.input, memory_map=args.memory_map,
+                              as_f32=True)
     log_volume_stats(str(args.input), vol)
 
     kernels = get_gaussian_kernels(sigma)
@@ -149,6 +161,10 @@ def main(argv=None) -> int:
 
     ckpt = None
     start_pass, start_vol, mean_val = 0, np.asarray(vol), None
+    if args.checkpoint_dir and args.stream:
+        logging.warning("--checkpoint_dir is ignored with --stream (the "
+                        "streamed scratch files already persist per pass)")
+        args.checkpoint_dir = None
     if args.checkpoint_dir:
         from flowdenoising_tpu.utils.checkpoint import CheckpointManager
         ckpt = CheckpointManager(args.checkpoint_dir, cfg, np.asarray(vol))
@@ -168,7 +184,24 @@ def main(argv=None) -> int:
             if ckpt is not None:
                 ckpt.save_pass(i, v)
 
-        if n_devices > 1:
+        if args.stream:
+            if n_devices > 1:
+                logging.warning("--stream runs single-device; ignoring "
+                                "--devices")
+            from flowdenoising_tpu.core.stream import denoise_streamed
+            state = {"done": 0}
+
+            def stream_progress(done, total):
+                progress.advance(done - state["done"])
+                state["done"] = done
+
+            filtered = denoise_streamed(vol, cfg, kernels=kernels,
+                                        slab_size=args.slab_size,
+                                        progress=stream_progress)
+            # final pass lives in a scratch memmap; remove its temp dir
+            # once the output file has been written
+            stream_scratch = getattr(filtered, "filename", None)
+        elif n_devices > 1:
             from flowdenoising_tpu.parallel.mesh import denoise_sharded
             filtered = denoise_sharded(start_vol, cfg, kernels=kernels,
                                        n_devices=n_devices,
@@ -187,6 +220,11 @@ def main(argv=None) -> int:
 
     with prof.phase("write"):
         write_volume(args.output, filtered, quantize=args.tiff_quantize)
+    if args.stream and stream_scratch is not None:
+        import os
+        import shutil
+        del filtered
+        shutil.rmtree(os.path.dirname(stream_scratch), ignore_errors=True)
 
     prof.report()
 

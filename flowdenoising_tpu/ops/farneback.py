@@ -319,10 +319,25 @@ def flow_from_pyramids(r0_levels: list[jnp.ndarray], r1_levels: list[jnp.ndarray
 
 
 def _umuf_opts(xwin: bool = False):
-    """Pallas iteration-kernel variant knobs (see _iterate_level)."""
+    """Pallas iteration-kernel variant knobs (see _iterate_level).
+
+    "rg<K>" sets the dyn y-shift loop's row-group height: the dynamic trip
+    count covers each K-row group's true flow range instead of the whole
+    block's union range.  Off by default: on measured real tap flows
+    (drifting-blob volume, |v| std 1.4) per-group windows cut average trips
+    13.3 -> 9.1 but the per-group window/roll overhead still nets slower
+    (16.1 vs 14.3 ms/iter at 512^2 b=36), so whole-block windows win.
+    Kept as an opt-in knob for flow statistics with strong row-scale
+    variation.
+    """
     opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu").split(",")
+    rg = 0
+    for o in opts:
+        if o.startswith("rg") and o[2:].isdigit():
+            rg = int(o[2:])
     return {"dyn": "dyn" in opts and not xwin,
             "mxu": "mxu" in opts,
+            "rg": rg,
             "fused": "nofuse" not in opts}
 
 
@@ -382,7 +397,8 @@ def prepped_tap_solver(padded: jnp.ndarray, interior_start: int, n: int,
             fpad = _umuf.umuf_iterate_prepped(
                 r0_tiles, r1_tiles, tiles, fpad, cfg.iterations, d_k,
                 cfg.winsize, h=hk, w=wk, r1_start=start, packed=packed,
-                dyn=kn["dyn"], mxu=kn["mxu"], fused=kn["fused"],
+                dyn=kn["dyn"], mxu=kn["mxu"], rg=kn["rg"],
+                fused=kn["fused"],
                 interpret=interpret)
             flow = fpad[:, :, :, :wk]
         return flow

@@ -84,7 +84,8 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
                  w_true: int, a: int, m0: int, h_true: int, iters: int = 1,
                  packed: bool = False, xwin: bool = False,
                  dyn: bool = False, mxu: bool = False,
-                 zero_tail: bool = False, _phases: str = "both"):
+                 rg: int = 0, zero_tail: bool = False,
+                 _phases: str = "both"):
     """One batch element.  r0/u/v cover M rows [m0, m0+hm); r1p additionally
     carries d+1 context rows per side; out covers output rows [a, a+th).
 
@@ -141,14 +142,14 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
         bw_ref=bw_ref if mxu else None,
         d=d, winsize=winsize, th=th, hm=hm, w_out=w_out, w_true=w_true,
         a=a, m0=m0, h_true=h_true, iters=iters, packed=packed, xwin=xwin,
-        dyn=dyn, mxu=mxu, zero_tail=zero_tail, _phases=_phases,
+        dyn=dyn, mxu=mxu, rg=rg, zero_tail=zero_tail, _phases=_phases,
         col=col, row=row, row_w=row_w, n_blk=n_blk,
         consts=(zero, one, half, quarter))
 
 
 def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                    f_ref, bh_ref, bhf_ref, bw_ref, d, winsize, th, hm, w_out,
-                   w_true, a, m0, h_true, iters, packed, xwin, dyn, mxu,
+                   w_true, a, m0, h_true, iters, packed, xwin, dyn, mxu, rg,
                    zero_tail, _phases, col, row, row_w, n_blk, consts):
     zero, one, half, quarter = consts
     m = d + 1
@@ -215,26 +216,111 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                 i_a1 = jnp.clip(l1, 0, _LANE - 1)
                 i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
                 use_b1 = l1 >= _LANE
-            def _s_accum(rows_of_c, s_f):
-                wy = jnp.maximum(zero, one - jnp.abs(v - s_f))
+            def _gather_term(rows_of_c, wy, tug, ia0, ib0, ub0, idx1):
+                terms = []
                 for c in range(_CH):
                     rows_a, rows_b = rows_of_c(c)
-                    ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1,
+                    ga0 = jnp.take_along_axis(rows_a, ia0, axis=1,
                                               mode="promise_in_bounds")
-                    gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1,
+                    gb0 = jnp.take_along_axis(rows_b, ib0, axis=1,
                                               mode="promise_in_bounds")
-                    g0 = jnp.where(use_b0, gb0, ga0)
+                    g0 = jnp.where(ub0, gb0, ga0)
                     if packed:
                         g0, g1 = unpack_pair(g0)
                     else:
-                        ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1,
+                        ia1, ib1, ub1 = idx1
+                        ga1 = jnp.take_along_axis(rows_a, ia1, axis=1,
                                                   mode="promise_in_bounds")
-                        gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1,
+                        gb1 = jnp.take_along_axis(rows_b, ib1, axis=1,
                                                   mode="promise_in_bounds")
-                        g1 = jnp.where(use_b1, gb1, ga1)
-                    acc_ref[c] += wy * (g0 + (g1 - g0) * tu)
+                        g1 = jnp.where(ub1, gb1, ga1)
+                    terms.append(wy * (g0 + (g1 - g0) * tug))
+                return terms
 
-            if dyn:
+            def _s_accum(rows_of_c, s_f):
+                wy = jnp.maximum(zero, one - jnp.abs(v - s_f))
+                terms = _gather_term(rows_of_c, wy, tu, i_a0, i_b0, use_b0,
+                                     None if packed else (i_a1, i_b1, use_b1))
+                for c in range(_CH):
+                    acc_ref[c] += terms[c]
+
+            if dyn and rg:
+                # Row groups: the y-shift trip count is set by the TRUE flow
+                # range of the rows it covers.  A whole-block (hm x 128)
+                # vmin/vmax pays for the union range of ~200 rows; per-group
+                # windows (rg rows each) only pay each group's local range --
+                # on noisy/wavy real-volume flows that's a large trip-count
+                # reduction (bitwise-identical: skipped terms have zero
+                # bilinear weight).  Mosaic's gather lowering wants
+                # 8-row-aligned operands, so the per-pixel sampling arrays
+                # are edge-padded to hm8 rows and all groups sized in
+                # multiples of 8; padded rows are sliced off before the
+                # accumulate.
+                assert rg % 8 == 0, "row-group height must be 8-aligned"
+                hm8 = _round_up(hm, 8)
+                pad_r = hm8 - hm
+
+                def _pad8(x):
+                    # edge-pad to 8-aligned rows; int32/f32 only (Mosaic's
+                    # relayout cannot bitcast i1 vregs, so bool masks are
+                    # re-derived per group from the padded int indices)
+                    if pad_r == 0:
+                        return x
+                    return jnp.concatenate(
+                        [x, jnp.broadcast_to(x[hm - 1:hm], (pad_r, _LANE))],
+                        axis=0)
+
+                v8, tu8 = _pad8(v), _pad8(tu)
+                l_idx8 = _pad8(l_idx)
+                for ga in range(0, hm8, rg):
+                    gb = min(ga + rg, hm8)
+                    gn = gb - ga
+                    gv = min(gb, hm)  # true rows to accumulate
+                    vg = v8[ga:gb]
+                    tug = tu8[ga:gb]
+                    # per-group index/mask arrays, hoisted out of the shift
+                    # loop (the whole-block path recomputes nothing per
+                    # shift either -- total clip work is unchanged)
+                    lg = l_idx8[ga:gb]
+                    ia0g = jnp.clip(lg, 0, _LANE - 1)
+                    ib0g = jnp.clip(lg - _LANE, 0, _LANE - 1)
+                    ub0g = lg >= _LANE
+                    if not packed:
+                        l1g = lg + 1
+                        idx1g = (jnp.clip(l1g, 0, _LANE - 1),
+                                 jnp.clip(l1g - _LANE, 0, _LANE - 1),
+                                 l1g >= _LANE)
+                    else:
+                        idx1g = None
+                    s_lo = jnp.floor(jnp.min(vg)).astype(jnp.int32)
+                    s_hi = jnp.floor(jnp.max(vg)).astype(jnp.int32) + 1
+                    nw = _round_up(gn + 7, 8)
+
+                    def s_body(sv, carry, ga=ga, gn=gn, gv=gv, nw=nw,
+                               vg=vg, tug=tug, ia0g=ia0g, ib0g=ib0g,
+                               ub0g=ub0g, idx1g=idx1g):
+                        base = ga + m + sv
+                        aligned = pl.multiple_of((base // 8) * 8, 8)
+                        off = base - aligned
+                        shift = jax.lax.rem(nw - off, nw)
+
+                        def rows_of_c(c):
+                            wa = r1p_ref[0, c, pl.ds(aligned, nw),
+                                         pl.ds(x0, _LANE)]
+                            wb = r1p_ref[0, c, pl.ds(aligned, nw),
+                                         pl.ds(x0 + _LANE, _LANE)]
+                            return (pltpu.roll(wa, shift, axis=0)[:gn],
+                                    pltpu.roll(wb, shift, axis=0)[:gn])
+                        s_f = sv.astype(jnp.float32)
+                        wy = jnp.maximum(zero, one - jnp.abs(vg - s_f))
+                        terms = _gather_term(rows_of_c, wy, tug, ia0g, ib0g,
+                                             ub0g, idx1g)
+                        for c in range(_CH):
+                            acc_ref[c, ga:gv] += terms[c][:gv - ga]
+                        return carry
+
+                    jax.lax.fori_loop(s_lo, s_hi + 1, s_body, 0)
+            elif dyn:
                 s_lo = jnp.floor(vmin).astype(jnp.int32)
                 s_hi = jnp.floor(vmax).astype(jnp.int32) + 1
                 # window row count must be sublane-aligned (Mosaic's
@@ -461,7 +547,7 @@ def _prepare_cf(r0cf, r1cf, d: int, w: int, packed: bool, dyn: bool):
 def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
                a: int, m0: int, h_true: int, w: int, interpret: bool,
                iters: int = 1, packed: bool = False, xwin: bool = False,
-               dyn: bool = False, mxu: bool = False,
+               dyn: bool = False, mxu: bool = False, rg: int = 0,
                r1_start=None, _phases: str = "both"):
     """One row tile, PRE-PREPARED operands (see _prepare_cf): r0_t
     (b, 5, hm, w_out); r1_t (b, 5, hm+2m[+pad], w_src) [packed dtype when
@@ -526,7 +612,7 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
         _umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
         w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
         iters=iters, packed=packed, xwin=xwin, dyn=dyn,
-        mxu=mxu, zero_tail=w_out > w, _phases=_phases)
+        mxu=mxu, rg=rg, zero_tail=w_out > w, _phases=_phases)
     out_shape = jax.ShapeDtypeStruct((b, 2, th, w_out), jnp.float32)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     if prefetch:
@@ -563,12 +649,12 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
 @functools.partial(jax.jit,
                    static_argnames=("max_displacement", "winsize", "iters",
                                     "interpret", "packed", "xwin", "dyn",
-                                    "mxu", "fused", "_phases"))
+                                    "mxu", "rg", "fused", "_phases"))
 def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray, flow_cf: jnp.ndarray,
                     max_displacement: int, winsize: int, iters: int = 1,
                     interpret: bool = False, packed: bool = False,
                     xwin: bool = False, dyn: bool = False, mxu: bool = False,
-                    fused: bool = True, _phases: str = "both"):
+                    rg: int = 0, fused: bool = True, _phases: str = "both"):
     """Channel-first fused iterationS.  r0, r1: (B, 5, H, W); flow_cf:
     (B, 2, H, w_out) lane-padded with ZERO pad lanes -> updated flow_cf of
     the same shape.  Data prep happens once.  With ``fused`` all iterations
@@ -599,7 +685,7 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray, flow_cf: jnp.ndarray,
                 flow_cf[:, 0, m0:m1], flow_cf[:, 1, m0:m1],
                 d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
                 interpret=interpret, iters=in_k, packed=packed, xwin=xwin,
-                dyn=dyn, mxu=mxu, _phases=_phases))
+                dyn=dyn, mxu=mxu, rg=rg, _phases=_phases))
         flow_cf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
     return flow_cf
 
@@ -652,7 +738,7 @@ def prep_tiles_cf(rcf_full, d: int, w: int, winsize: int, iters: int, *,
 def umuf_iterate_prepped(r0_tiles, r1_tiles, tiles, flow_cf, iters: int,
                          d: int, winsize: int, *, h: int, w: int, r1_start,
                          packed: bool = False, dyn: bool = False,
-                         mxu: bool = False, fused: bool = True,
+                         mxu: bool = False, rg: int = 0, fused: bool = True,
                          interpret: bool = False) -> jnp.ndarray:
     """``iters`` chained fused Farneback iterations over PRE-TILED operands
     (see ``prep_tiles_cf``), channel-first.
@@ -672,7 +758,7 @@ def umuf_iterate_prepped(r0_tiles, r1_tiles, tiles, flow_cf, iters: int,
                 r0_t, r1_t, flow_cf[:, 0, m0:m1], flow_cf[:, 1, m0:m1],
                 d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
                 interpret=interpret, iters=in_k, packed=packed,
-                dyn=dyn, mxu=mxu, r1_start=r1_start))
+                dyn=dyn, mxu=mxu, rg=rg, r1_start=r1_start))
         flow_cf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
     return flow_cf
 
@@ -681,7 +767,8 @@ def umuf_iterate(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                  iters: int, max_displacement: int, winsize: int,
                  interpret: bool = False, packed: bool = False,
                  xwin: bool = False, dyn: bool = False,
-                 mxu: bool = False, fused: bool = True) -> jnp.ndarray:
+                 mxu: bool = False, rg: int = 0,
+                 fused: bool = True) -> jnp.ndarray:
     """``iters`` chained fused Farneback iterations, channels-last API.
 
     Bitwise-identical to calling ``umuf_pallas`` ``iters`` times, but the
@@ -698,7 +785,7 @@ def umuf_iterate(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     fcf = jnp.moveaxis(flow, -1, -3).reshape((-1, 2, h, w))
     fcf = _lane_pad_flow_cf(fcf, w)
     fcf = _umuf_pallas_cf(r0cf, r1cf, fcf, max_displacement, winsize, iters,
-                          interpret, packed, xwin, dyn, mxu, fused)
+                          interpret, packed, xwin, dyn, mxu, rg, fused)
     f = fcf[:, :, :, :w].reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)
 
@@ -707,7 +794,7 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                 max_displacement: int, winsize: int,
                 interpret: bool = False, packed: bool = False,
                 xwin: bool = False, dyn: bool = False, mxu: bool = False,
-                _phases: str = "both") -> jnp.ndarray:
+                rg: int = 0, _phases: str = "both") -> jnp.ndarray:
     """ONE fused Farneback iteration, channels-last API.
 
     r0, r1: (..., H, W, 5) polynomial expansions; flow: (..., H, W, 2).
@@ -723,6 +810,7 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     fcf = jnp.moveaxis(flow, -1, -3).reshape((-1, 2, h, w))
     fcf = _lane_pad_flow_cf(fcf, w)
     fcf = _umuf_pallas_cf(r0cf, r1cf, fcf, max_displacement, winsize, 1,
-                          interpret, packed, xwin, dyn, mxu, _phases=_phases)
+                          interpret, packed, xwin, dyn, mxu, rg,
+                          _phases=_phases)
     f = fcf[:, :, :, :w].reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)

@@ -66,6 +66,9 @@ def main():
                 ("dyn", {"dyn": True}),
                 ("mxu", {"mxu": True}),
                 ("dynmxu", {"dyn": True, "mxu": True}),
+                ("dynmxurg8", {"dyn": True, "mxu": True, "rg": 8}),
+                ("dynmxurg16", {"dyn": True, "mxu": True, "rg": 16}),
+                ("dynmxurg32", {"dyn": True, "mxu": True, "rg": 32}),
                 ("dynmxupk", {"dyn": True, "mxu": True, "packed": True}),
                 ("p1dyn", {"dyn": True, "_phases": "p1"}),
                 ("noop", {"_phases": "none"}),
@@ -82,7 +85,9 @@ def main():
 
     # 3-iteration chains: fused in-kernel vs one program per iteration
     iters = int(os.environ.get("PROBE_ITERS", "3"))
-    chain_variants = [("ch-base", {}), ("ch-dynmxu", {"dyn": True, "mxu": True})]
+    chain_variants = [("ch-base", {}), ("ch-dynmxu", {"dyn": True, "mxu": True}),
+                      ("ch-dynmxurg8", {"dyn": True, "mxu": True, "rg": 8}),
+                      ("ch-dynmxurg16", {"dyn": True, "mxu": True, "rg": 16})]
     sel = os.environ.get("PROBE_CHAINS")
     if sel is not None:
         names = sel.split(",")

@@ -171,14 +171,17 @@ def test_xwin_large_flow_clamp():
 
 
 @pytest.mark.parametrize("kw", [dict(dyn=True), dict(mxu=True),
-                                dict(dyn=True, mxu=True)])
+                                dict(dyn=True, mxu=True),
+                                dict(dyn=True, rg=8),
+                                dict(dyn=True, mxu=True, rg=8),
+                                dict(dyn=True, mxu=True, rg=16)])
 def test_dyn_mxu_match_base(kw):
     # dyn must be bitwise-identical (same gathers, dynamic trip count);
     # mxu reassociates the box sums on the MXU (float-rounding level).
     R0, R1, flow = _setup(b=2, h=24, w=40, seed=11, flow_scale=3.0)
     base = np.asarray(U.umuf_pallas(R0, R1, flow, 4, 5, interpret=True))
     out = np.asarray(U.umuf_pallas(R0, R1, flow, 4, 5, interpret=True, **kw))
-    tol = 0 if kw == dict(dyn=True) else 1e-5
+    tol = 0 if not kw.get("mxu") else 1e-5
     np.testing.assert_allclose(out, base, atol=tol)
 
 
@@ -209,7 +212,8 @@ def _stack_setup(B=10, h=20, w=36, seed=21, flow_scale=2.0):
     return stack, Rcf, r
 
 
-@pytest.mark.parametrize("kw", [dict(), dict(dyn=True, mxu=True)])
+@pytest.mark.parametrize("kw", [dict(), dict(dyn=True, mxu=True),
+                                dict(dyn=True, mxu=True, rg=8)])
 @pytest.mark.parametrize("start,w", [(0, 36), (3, 36), (3, 128)])
 def test_prepped_window_matches_umuf_iterate(kw, start, w):
     # umuf_iterate_prepped windowing into the FULL stack operand at a traced

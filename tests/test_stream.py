@@ -1,0 +1,112 @@
+"""Disk-streamed >host-RAM pipeline: bitwise equality vs the in-memory
+pipeline, boundary-context gathering, and CLI --stream E2E."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
+from flowdenoising_tpu.core.pipeline import denoise
+from flowdenoising_tpu.core.stream import _boundary_window, denoise_streamed
+
+
+def _vol(shape=(12, 24, 20), seed=3):
+    rng = np.random.default_rng(seed)
+    return (rng.normal(size=shape).astype(np.float32) * 40 + 100)
+
+
+@pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.REPLICATE])
+@pytest.mark.parametrize("use_flow", [False, True])
+def test_streamed_matches_in_memory(tmp_path, boundary, use_flow):
+    vol = _vol()
+    cfg = FilterConfig(sigma=(1.0, 1.0, 1.0), boundary=boundary,
+                       use_flow=use_flow,
+                       flow=FlowConfig(levels=1, winsize=5))
+    ref = np.asarray(denoise(jnp.asarray(vol), cfg))
+    out = np.asarray(denoise_streamed(vol, cfg, slab_size=5,
+                                      tmp_dir=str(tmp_path)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_streamed_mean_boundary(tmp_path):
+    # MEAN fill value is streamed in float64; matches the device jnp.mean
+    # to float rounding -> voxel tolerance instead of bitwise.
+    vol = _vol((10, 16, 16), seed=5)
+    cfg = FilterConfig(sigma=(1.0, 1.0, 1.0), boundary=Boundary.MEAN,
+                       use_flow=False)
+    ref = np.asarray(denoise(jnp.asarray(vol), cfg))
+    out = np.asarray(denoise_streamed(vol, cfg, slab_size=4,
+                                      tmp_dir=str(tmp_path)))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-6)
+
+
+def test_streamed_from_memmap_input(tmp_path):
+    # the intended use: the input itself is a disk memmap (int16, like
+    # FIB-SEM MRC mode 1); per-window conversion only
+    vol = _vol((9, 18, 22), seed=7).astype(np.int16)
+    mm_path = tmp_path / "in.i16"
+    mm = np.memmap(mm_path, dtype=np.int16, mode="w+", shape=vol.shape)
+    mm[...] = vol
+    mm.flush()
+    src = np.memmap(mm_path, dtype=np.int16, mode="r", shape=vol.shape)
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=Boundary.WRAP,
+                       use_flow=False)
+    ref = np.asarray(denoise(jnp.asarray(vol.astype(np.float32)), cfg))
+    out = np.asarray(denoise_streamed(src, cfg, slab_size=4,
+                                      tmp_dir=str(tmp_path)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_streamed_out_array_and_progress(tmp_path):
+    vol = _vol((8, 16, 16), seed=9)
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), use_flow=False)
+    dst = np.zeros_like(vol)
+    calls = []
+    passes = []
+    out = denoise_streamed(vol, cfg, slab_size=3, tmp_dir=str(tmp_path),
+                           out=dst, progress=lambda d, t: calls.append((d, t)),
+                           on_pass=lambda i, v: passes.append(i))
+    assert out is dst
+    assert passes == [0, 1, 2]
+    assert calls[-1] == (sum(vol.shape), sum(vol.shape))
+    ref = np.asarray(denoise(jnp.asarray(vol), cfg))
+    np.testing.assert_array_equal(dst, ref)
+
+
+def test_boundary_window_wrap_and_layouts():
+    vol = np.arange(4 * 5 * 6, dtype=np.float32).reshape(4, 5, 6)
+    w = _boundary_window(vol, 0, -2, 6, Boundary.WRAP, 0.0)
+    assert w.shape == (8, 5, 6)
+    np.testing.assert_array_equal(w[:2], vol[-2:])
+    np.testing.assert_array_equal(w[2:6], vol)
+    np.testing.assert_array_equal(w[6:], vol[:2])
+    # axis 1 -> target layout (Y, Z, X); axis 2 -> (X, Z, Y)
+    w1 = _boundary_window(vol, 1, 1, 4, Boundary.WRAP, 0.0)
+    np.testing.assert_array_equal(w1, np.moveaxis(vol[:, 1:4], 1, 0))
+    w2 = _boundary_window(vol, 2, 0, 3, Boundary.REPLICATE, 0.0)
+    np.testing.assert_array_equal(w2, np.moveaxis(vol[:, :, 0:3], 2, 0))
+
+
+def test_boundary_window_mean_fill():
+    vol = np.ones((3, 4, 4), np.float32)
+    w = _boundary_window(vol, 0, -1, 5, Boundary.MEAN, 7.0)
+    assert w.shape == (6, 4, 4)
+    np.testing.assert_array_equal(w[0], np.full((4, 4), 7.0))
+    np.testing.assert_array_equal(w[-2:], np.full((2, 4, 4), 7.0))
+
+
+def test_cli_stream_e2e(tmp_path):
+    from flowdenoising_tpu.cli import main
+    from flowdenoising_tpu.io.volume import read_volume, write_volume
+    vol = _vol((8, 16, 16), seed=11)
+    src = tmp_path / "in.mrc"
+    dst = tmp_path / "out.mrc"
+    write_volume(src, vol)
+    rc = main(["-i", str(src), "-o", str(dst), "-n", "-s", "0.5",
+               "--stream", "--slab_size", "3"])
+    assert rc == 0
+    out = read_volume(dst)
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), use_flow=False)
+    ref = np.asarray(denoise(jnp.asarray(vol), cfg))
+    np.testing.assert_array_equal(out, ref)
