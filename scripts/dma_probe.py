@@ -56,6 +56,38 @@ def run_copy(x, block_rows):
     )(x)
 
 
+def multi_kernel(a_ref, b_ref, u_ref, v_ref, out_ref):
+    # consume one row of each operand so the block DMAs can't be elided
+    out_ref[0, 0] = u_ref[0]
+    out_ref[0, 1] = v_ref[0]
+    out_ref[0, 0, 0:1] = a_ref[0, 0, 0:1] + b_ref[0, 0, 0:1, :out_ref.shape[-1]]
+
+
+def run_multi(a, b, u, v):
+    """umuf-shaped operand set: a=(n,5,hm,w), b=(n,5,hm2,w2), u/v=(n,hm,w)."""
+    n, c, hm, w = a.shape
+    hm2, w2 = b.shape[2], b.shape[3]
+    return pl.pallas_call(
+        multi_kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, c, hm, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hm2, w2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hm, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hm, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, hm, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2, hm, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(a, b, u, v)
+
+
 def main():
     from flowdenoising_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -67,6 +99,13 @@ def main():
         (64, 256, 256),
         (16, 1440, 1536),  # 4x bigger blocks, fewer programs
         (512, 72, 384),    # tiny blocks, many programs
+        # minor-width isolation: same block bytes, same program count
+        (64, 1440, 384),
+        (64, 720, 768),
+        (64, 360, 1536),
+        (64, 180, 3072),
+        (64, 2160, 256),
+        (128, 1440, 384),  # 2x programs, same block
     ]
     for b, r, w in configs:
         x = jnp.asarray(rng.normal(size=(b, r, w)).astype(np.float32))
@@ -74,6 +113,19 @@ def main():
         gb = b * r * w * 4 * 2 / 1e9
         print(f"copy b={b:4d} block=({r},{w}) {b*r*w*4/1e6:7.1f} MB: "
               f"{t*1e3:7.2f} ms  {gb/t:7.1f} GB/s", flush=True)
+
+    # umuf-shaped multi-operand programs (256^2 pass shape, b=128, d=8)
+    n, hm, w = 128, 260, 256
+    hm2, w2 = 260 + 18 + 16, 384
+    a = jnp.asarray(rng.normal(size=(n, 5, hm, w)).astype(np.float32))
+    bb = jnp.asarray(rng.normal(size=(n, 5, hm2, w2)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(n, hm, w)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, hm, w)).astype(np.float32))
+    mb = (a.nbytes + bb.nbytes + 2 * u.nbytes + n * 2 * hm * w * 4) / 1e6
+    t = timed(lambda c, *xs: run_multi(*xs) + c * 0,
+              jnp.zeros((n, 2, hm, w), jnp.float32), a, bb, u, v)
+    print(f"multi b={n} (umuf operand set) {mb:7.1f} MB: "
+          f"{t*1e3:7.2f} ms  {mb/1e3/t:7.1f} GB/s", flush=True)
 
 
 if __name__ == "__main__":
