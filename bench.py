@@ -128,23 +128,31 @@ def bench_cpu_reference(z, h, w, sigma, levels, winsize):
     return rate
 
 
-def gather_issue_model_s(voxels, ks2, iters, levels=3, shifts=3.0,
-                         gathers_per_shift=4.0, lanes=128, ghz=0.94):
-    """Analytic floor from the sampling kernel's DynamicGatherOp issue rate.
+def sampling_issue_model_s(voxels, ks2, iters, trips=10.6,
+                           per_trip_voxel_ns=0.100):
+    """CALIBRATED floor of the fused Farneback iteration's sampling loop.
 
-    The fused Farneback iteration is gather-issue-bound, not HBM-bound
-    (scripts/pass_breakdown.py): per (channel, active y-shift) the
-    two-window bilinear lane gather issues ~4 vreg gathers, and Mosaic
-    retires ~1 per cycle.  Per voxel per pass: taps x pyramid-factor x
-    iters x 5 channels x avg-active-shifts x 4 / 128 lanes.  ``shifts`` is
-    data-dependent (the dyn window covers the block's true flow range;
-    smooth drift => ~2-3).
+    Round-2 hardware decomposition (scripts/prepped_probe.py with real-
+    statistics flows, scripts/trip_stats.py on real seeded tap flows of
+    this bench volume):
+
+    - The kernel's cost is the dynamic y-shift trip loop: per (trip,
+      iteration) the issue cost is ~0.100 ns/voxel (measured 0.84 ms per
+      trip on a 128x256^2 tile at d=9; splits ~47% lane gathers, ~37%
+      rolls/selects/weights/fma, ~16% overlapped operand DMA).
+    - Trips are DATA-bound: per-pixel flow noise (std ~1.4 px on this
+      noisy volume) keeps any (rows x 128-lane) block's y-range wide.
+      Measured per-block average: 12.2 trips whole-plane, 10.6 with the
+      default 64-row groups (max 2d+2 = 20).
+
+    Floor = voxels x 3 passes x taps x pyramid-factor x iters x trips x
+    per-trip cost.  Operand DMA is overlapped (the no-compute pipeline
+    floor is ~16% of kernel time) and excluded.
     """
     taps = 2 * ks2
     pyr = 4.0 / 3.0
-    vreg_gathers = (voxels * 3 * taps * pyr * iters * 5 * shifts
-                    * gathers_per_shift / lanes)
-    return vreg_gathers / (ghz * 1e9)
+    return (voxels * 3 * taps * pyr * iters * trips
+            * per_trip_voxel_ns * 1e-9)
 
 
 def hbm_model_bytes_per_voxel(ks2, iters, tap_mode, precision):
@@ -248,16 +256,17 @@ def main():
     # --- roofline ---
     bpv_solve = hbm_model_bytes_per_voxel(ks2, 3, "solve", "float32")
     achieved = voxels * bpv_solve / dt_solve / 1e9
-    gather_floor = gather_issue_model_s(voxels, ks2, 3)
+    issue_floor = sampling_issue_model_s(voxels, ks2, 3)
     roofline = {
         "hbm_model_bytes_per_voxel_solve": round(bpv_solve, 1),
         "achieved_GBps_solve": round(achieved, 1),
         "hbm_roofline_pct_solve": round(100.0 * achieved / V5E_HBM_GBPS, 1),
-        # the binding resource: DynamicGatherOp issue rate of the sampling
-        # kernel (see gather_issue_model_s); solve time over this floor
-        "gather_issue_floor_s_solve": round(gather_floor, 2),
-        "gather_issue_floor_pct_solve": round(
-            100.0 * gather_floor / dt_solve, 1),
+        # the binding resource: the sampling trip loop's measured issue
+        # cost at measured real-flow trip counts (see
+        # sampling_issue_model_s); solve time over this calibrated floor
+        "sampling_issue_floor_s_solve": round(issue_floor, 2),
+        "sampling_issue_floor_pct_solve": round(
+            100.0 * issue_floor / dt_solve, 1),
     }
     if fast is not None:
         bpv_fast = hbm_model_bytes_per_voxel(ks2, 3, "compose", "bfloat16")

@@ -323,14 +323,15 @@ def _umuf_opts(xwin: bool = False):
 
     "rg<K>" sets the dyn y-shift loop's row-group height: the dynamic trip
     count covers each K-row group's true flow range instead of the whole
-    block's union range.  Off by default: on measured real tap flows
-    (drifting-blob volume, |v| std 1.4) per-group windows cut average trips
-    13.3 -> 9.1 but the per-group window/roll overhead still nets slower
-    (16.1 vs 14.3 ms/iter at 512^2 b=36), so whole-block windows win.
-    Kept as an opt-in knob for flow statistics with strong row-scale
-    variation.
+    block's union range.  Default rg64: on real noisy tap flows (drifting-
+    blob volume, flow noise std ~1.4 px) 64-row groups cut full-pass time
+    3-6% (256^3 pass 1.433 -> 1.345 s; 512^2-plane pass 1.575 -> 1.526 s);
+    finer groups (rg8-rg32) pay more per-group window/roll overhead than
+    their extra trip reduction earns, because per-pixel flow NOISE keeps
+    any >=1k-pixel group's range wide (round-2 measurement, scripts/
+    prepped_probe.py with PROBE_FLOW=noisy).
     """
-    opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu").split(",")
+    opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu,rg64").split(",")
     rg = 0
     for o in opts:
         if o.startswith("rg") and o[2:].isdigit():

@@ -216,25 +216,35 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                 i_a1 = jnp.clip(l1, 0, _LANE - 1)
                 i_b1 = jnp.clip(l1 - _LANE, 0, _LANE - 1)
                 use_b1 = l1 >= _LANE
+            def _take(rows, idx):
+                if _phases == "p1nog":
+                    # probe mode: skip the DynamicGatherOp, keep everything
+                    # else (rolls, selects, weights, fma) -- isolates the
+                    # gather cost in context
+                    return rows
+                return jnp.take_along_axis(rows, idx, axis=1,
+                                           mode="promise_in_bounds")
+
             def _gather_term(rows_of_c, wy, tug, ia0, ib0, ub0, idx1):
+                # bilinear weights folded with the hat weight ONCE per trip
+                # (w0 = wy*(1-tu), w1 = wy*tu) so the per-channel work is two
+                # fma instead of sub+fma+mul
+                w1 = wy * tug
+                w0 = wy - w1
                 terms = []
                 for c in range(_CH):
                     rows_a, rows_b = rows_of_c(c)
-                    ga0 = jnp.take_along_axis(rows_a, ia0, axis=1,
-                                              mode="promise_in_bounds")
-                    gb0 = jnp.take_along_axis(rows_b, ib0, axis=1,
-                                              mode="promise_in_bounds")
+                    ga0 = _take(rows_a, ia0)
+                    gb0 = _take(rows_b, ib0)
                     g0 = jnp.where(ub0, gb0, ga0)
                     if packed:
                         g0, g1 = unpack_pair(g0)
                     else:
                         ia1, ib1, ub1 = idx1
-                        ga1 = jnp.take_along_axis(rows_a, ia1, axis=1,
-                                                  mode="promise_in_bounds")
-                        gb1 = jnp.take_along_axis(rows_b, ib1, axis=1,
-                                                  mode="promise_in_bounds")
+                        ga1 = _take(rows_a, ia1)
+                        gb1 = _take(rows_b, ib1)
                         g1 = jnp.where(ub1, gb1, ga1)
-                    terms.append(wy * (g0 + (g1 - g0) * tug))
+                    terms.append(g0 * w0 + g1 * w1)
                 return terms
 
             def _s_accum(rows_of_c, s_f):
@@ -328,11 +338,11 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                 # offset (< 8 rows) after rounding
                 nw = _round_up(hm + 7, 8)
 
-                def s_body(sv, carry):
+                def rows_for(sv):
                     # Mosaic requires dynamic sublane starts to be 8-aligned:
-                    # read an aligned window of hm+8 rows (r1p carries 8
-                    # extra pad rows in dyn mode) and roll the sub-8 offset
-                    # away.  No wraparound reaches rows [0, hm).
+                    # read an aligned window of hm+8 rows (r1p carries pad
+                    # rows in dyn mode) and roll the sub-8 offset away.  No
+                    # wraparound reaches rows [0, hm).
                     base = m + sv
                     aligned = pl.multiple_of((base // 8) * 8, 8)
                     off = base - aligned
@@ -345,7 +355,10 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                                      pl.ds(x0 + _LANE, _LANE)]
                         return (pltpu.roll(wa, shift, axis=0)[:hm],
                                 pltpu.roll(wb, shift, axis=0)[:hm])
-                    _s_accum(rows_of_c, sv.astype(jnp.float32))
+                    return rows_of_c
+
+                def s_body(sv, carry):
+                    _s_accum(rows_for(sv), sv.astype(jnp.float32))
                     return carry
 
                 jax.lax.fori_loop(s_lo, s_hi + 1, s_body, 0)
@@ -458,7 +471,7 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
 
     for it in range(iters):
         phase1(read_in if it == 0 else read_carry)
-        if _phases == "p1":
+        if _phases in ("p1", "p1nog"):
             # probe mode: skip box+solve, emit two M channels as the "flow"
             out_ref[0, 0] = m_ref[3, a - m0:a - m0 + th, :]
             out_ref[0, 1] = m_ref[4, a - m0:a - m0 + th, :]
