@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -98,7 +99,55 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Quantize TIFF output like the reference sequential "
                         "variant: uint8 if max < 256 else uint16 "
                         "(flowdenoising_sequential.py:566-571)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of the jax.distributed coordinator; "
+                        "launch one CLI process per host with matching "
+                        "--num_hosts/--host_id.  Each process memory-map-"
+                        "reads only its Z shard of the input and writes "
+                        "only its shards of the output (shared storage), "
+                        "so no host ever materializes the full volume")
+    p.add_argument("--num_hosts", type=int, default=1,
+                   help="Total number of distributed CLI processes")
+    p.add_argument("--host_id", type=int, default=None,
+                   help="This process's index in [0, num_hosts)")
     return p
+
+
+def _main_distributed(args, cfg, prof) -> int:
+    """Multi-process file-to-file run: shard-wise ingest, global-mesh
+    compute, shard-wise output (parallel/distributed.py).  No process ever
+    materializes the full volume."""
+    import jax
+
+    from flowdenoising_tpu.io.mrc import _HEADER_BYTES, _parse_header
+    from flowdenoising_tpu.io.volume import is_mrc_input, is_mrc_output
+    from flowdenoising_tpu.parallel.distributed import run_distributed
+    from flowdenoising_tpu.utils.progress import ProgressReporter
+
+    if not (is_mrc_input(args.input) and is_mrc_output(args.output)):
+        raise SystemExit("--coordinator runs need MRC input AND output "
+                         "(sharded file I/O); convert TIFF stacks first")
+
+    kernels = get_gaussian_kernels(cfg.sigma)
+    logging.info(
+        f"length of each filter (Z, Y, X) = {[len(k) for k in kernels]}")
+    devices = jax.devices()
+    logging.info(f"JAX backend: {devices[0].platform} with {len(devices)} "
+                 f"global device(s), process {jax.process_index()}"
+                 f"/{jax.process_count()}")
+
+    with open(args.input, "rb") as f:
+        hdr = _parse_header(f.read(_HEADER_BYTES))
+    progress = ProgressReporter(total_units=int(sum(hdr.shape)))
+
+    with prof.phase("filter"), progress:
+        def on_pass(i, _v):
+            progress.advance(hdr.shape[i])
+
+        run_distributed(args.input, args.output, cfg, kernels=kernels,
+                        on_pass=on_pass)
+    prof.report()
+    return 0
 
 
 def main(argv=None) -> int:
@@ -108,6 +157,24 @@ def main(argv=None) -> int:
         print("fingerprint =", file_fingerprint(__file__))
 
     setup_logging(args.verbosity if isinstance(args.verbosity, int) else 0)
+    plat = os.environ.get("FDTPU_PLATFORM")
+    if plat:
+        # this image's TPU plugin registers itself with priority and
+        # ignores JAX_PLATFORMS; the config update wins (used by the
+        # multi-process CPU test tier)
+        import jax
+        jax.config.update("jax_platforms", plat)
+    if args.coordinator:
+        # multi-process mode: the distributed runtime must come up before
+        # any other jax use (backend/device discovery)
+        if args.host_id is None or not (0 <= args.host_id < args.num_hosts):
+            raise SystemExit("--coordinator requires --num_hosts and a "
+                             "--host_id in [0, num_hosts)")
+        if args.stream or args.checkpoint_dir:
+            raise SystemExit("--stream/--checkpoint_dir are not supported "
+                             "with --coordinator (multi-process runs)")
+        from flowdenoising_tpu.parallel.distributed import init_distributed
+        init_distributed(args.coordinator, args.num_hosts, args.host_id)
     from flowdenoising_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     prof = PhaseProfiler()
@@ -136,6 +203,9 @@ def main(argv=None) -> int:
         logging.info("No reusing adjacent OF fields as predictions")
     else:
         logging.info("Using adjacent OF fields as predictions")
+
+    if args.coordinator:
+        return _main_distributed(args, cfg, prof)
 
     from flowdenoising_tpu.io.volume import read_volume, write_volume
 
@@ -221,7 +291,6 @@ def main(argv=None) -> int:
     with prof.phase("write"):
         write_volume(args.output, filtered, quantize=args.tiff_quantize)
     if args.stream and stream_scratch is not None:
-        import os
         import shutil
         del filtered
         shutil.rmtree(os.path.dirname(stream_scratch), ignore_errors=True)

@@ -109,6 +109,31 @@ def read_mrc_f32(path: str | os.PathLike, n_threads: int | None = None) -> np.nd
     return data.reshape(hdr.shape).astype(np.float32)
 
 
+def build_mrc_header(nx: int, ny: int, nz: int, mode: int,
+                     dmin: float, dmax: float, dmean: float, rms: float,
+                     voxel_size=None) -> bytes:
+    """Minimal little-endian MRC2014 header (mrcfile-compatible)."""
+    hdr = bytearray(_HEADER_BYTES)
+    struct.pack_into("<4i", hdr, 0, nx, ny, nz, mode)
+    struct.pack_into("<3i", hdr, 28, nx, ny, nz)            # MX, MY, MZ
+    if voxel_size is not None:
+        vx, vy, vz = (voxel_size,) * 3 if np.isscalar(voxel_size) else voxel_size
+        struct.pack_into("<3f", hdr, 40, nx * vx, ny * vy, nz * vz)
+    struct.pack_into("<3f", hdr, 52, 90.0, 90.0, 90.0)      # CELLB
+    struct.pack_into("<3i", hdr, 64, 1, 2, 3)               # MAPC/R/S
+    struct.pack_into("<3f", hdr, 76, dmin, dmax, dmean)
+    struct.pack_into("<i", hdr, 88, 0)                      # ISPG (image stack: 0)
+    struct.pack_into("<i", hdr, 92, 0)                      # NSYMBT
+    struct.pack_into("<i", hdr, 108, 20140)                 # NVERSION
+    hdr[208:212] = b"MAP "
+    hdr[212:216] = b"\x44\x44\x00\x00"                      # little-endian stamp
+    struct.pack_into("<f", hdr, 216, rms)
+    struct.pack_into("<i", hdr, 220, 1)                     # NLABL
+    label = b"Created by flowdenoising_tpu"
+    hdr[224:224 + len(label)] = label
+    return bytes(hdr)
+
+
 def write_mrc(path: str | os.PathLike, data: np.ndarray, voxel_size=None) -> None:
     """Write (Z, Y, X) data as a minimal MRC2014 file (mrcfile-compatible)."""
     data = np.ascontiguousarray(data)
@@ -131,24 +156,8 @@ def write_mrc(path: str | os.PathLike, data: np.ndarray, voxel_size=None) -> Non
     else:
         dmin, dmax, dmean, rms = 0.0, -1.0, -2.0, -1.0
 
-    hdr = bytearray(_HEADER_BYTES)
-    struct.pack_into("<4i", hdr, 0, nx, ny, nz, mode)
-    struct.pack_into("<3i", hdr, 28, nx, ny, nz)            # MX, MY, MZ
-    if voxel_size is not None:
-        vx, vy, vz = (voxel_size,) * 3 if np.isscalar(voxel_size) else voxel_size
-        struct.pack_into("<3f", hdr, 40, nx * vx, ny * vy, nz * vz)
-    struct.pack_into("<3f", hdr, 52, 90.0, 90.0, 90.0)      # CELLB
-    struct.pack_into("<3i", hdr, 64, 1, 2, 3)               # MAPC/R/S
-    struct.pack_into("<3f", hdr, 76, dmin, dmax, dmean)
-    struct.pack_into("<i", hdr, 88, 0)                      # ISPG (image stack: 0)
-    struct.pack_into("<i", hdr, 92, 0)                      # NSYMBT
-    struct.pack_into("<i", hdr, 108, 20140)                 # NVERSION
-    hdr[208:212] = b"MAP "
-    hdr[212:216] = b"\x44\x44\x00\x00"                      # little-endian stamp
-    struct.pack_into("<f", hdr, 216, rms)
-    struct.pack_into("<i", hdr, 220, 1)                     # NLABL
-    label = b"Created by flowdenoising_tpu"
-    hdr[224:224 + len(label)] = label
+    hdr = build_mrc_header(nx, ny, nz, mode, dmin, dmax, dmean, rms,
+                           voxel_size)
 
     if mode == 2 and data.dtype.byteorder in ("=", "<", "|"):
         from flowdenoising_tpu import runtime

@@ -52,10 +52,13 @@ def load_sharded(path, mesh: Mesh, memory_map: bool = True) -> jax.Array:
     n_z = vol.shape[0]
     n_dev = mesh.devices.size
     if n_z % n_dev != 0:
-        # uneven Z: single full read; denoise_sharded re-shards internally
-        return jax.device_put(
-            np.asarray(vol, dtype=np.float32),
-            NamedSharding(mesh, P()))
+        # uneven Z: full read, replicated; denoise_sharded re-shards
+        # internally.  make_array_from_process_local_data is the
+        # multi-controller-safe assembly (device_put cannot target
+        # non-addressable devices).
+        full = np.asarray(vol, dtype=np.float32)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), full, full.shape)
     lo, hi = local_z_range(n_z, mesh)
     local = np.asarray(vol[lo:hi], dtype=np.float32)
     sharding = NamedSharding(mesh, P(AXIS, None, None))

@@ -68,3 +68,51 @@ def test_two_process_sharded_matches_single(tmp_path, mode):
     assert got.shape == want.shape
     err = np.abs(got - want)
     assert err.max() < 5e-3, err.max()
+
+
+def test_two_process_cli_file_to_file(tmp_path):
+    """The full distributed USER path: two CLI processes against one shared
+    input MRC, each memory-map-reading only its Z shard
+    (parallel/ingest.py) and writing only its shards of the single shared
+    output file (parallel/distributed.py::write_mrc_sharded).  Output must
+    match the single-process CLI pipeline."""
+    from flowdenoising_tpu.io.mrc import read_mrc, write_mrc
+
+    vol = make_blob_volume(16, 24, 16, seed=23).astype(np.float32)
+    inp = tmp_path / "in.mrc"
+    outp = tmp_path / "out.mrc"
+    write_mrc(inp, vol)
+
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    # the image's TPU plugin ignores JAX_PLATFORMS; the CLI honors
+    # FDTPU_PLATFORM via a config update
+    env["FDTPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    args = ["-i", str(inp), "-o", str(outp), "-s", "0.5", "0.5", "0.5",
+            "-w", "5", "-l", "0", "--coordinator", coord,
+            "--num_hosts", "2"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "flowdenoising_tpu",
+             *args, "--host_id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600.0)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"CLI worker failed:\n{o[-4000:]}"
+
+    got, hdr = read_mrc(outp)
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=Boundary.WRAP,
+                       flow=FlowConfig(levels=0, winsize=5))
+    want = np.asarray(denoise(vol, cfg))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 5e-3
+    # header statistics are globally reduced, not per-shard
+    assert abs(hdr.dmean - want.mean()) < 1e-2
+    assert hdr.dmax >= want.max() - 1e-2
