@@ -264,12 +264,16 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
                 if fused_step:
                     # Whole tap step in one Pallas program (link warp, flow
                     # update, neighbor warp, fma) -- ops/pallas/compose.py.
+                    # FDTPU_COMPOSE_DYN=1 opts the sampling loops into the
+                    # dynamic-trip form (wins only on smooth-drift flows;
+                    # see compose_tap_pallas docstring).
                     from flowdenoising_tpu.ops.pallas.compose import (
                         compose_tap_pallas)
                     flow, acc = compose_tap_pallas(
                         link.astype(jnp.float32), flow.astype(jnp.float32),
                         neighbor.astype(jnp.float32), acc.astype(jnp.float32),
-                        weight, d)
+                        weight, d,
+                        dyn=os.environ.get("FDTPU_COMPOSE_DYN", "0") == "1")
                     return (flow.astype(dtype), acc.astype(dtype)), None
                 link_cf = jnp.moveaxis(link, -1, -3)
                 warped_link = displace_sample(

@@ -46,6 +46,20 @@ def test_large_flow_clamped():
     np.testing.assert_allclose(np.asarray(ao), ar, atol=1e-4)
 
 
+@pytest.mark.parametrize("scale", [1.5, 8.0])
+def test_dyn_matches_static(scale):
+    # dyn trip loop (8-aligned dynamic windows + roll) must be bitwise
+    # identical to the statically predicated shift loop: same gathers,
+    # same accumulation order.
+    link, flow, neighbor, acc = _setup(seed=7, scale=scale)
+    fs, as_ = compose_tap_pallas(link, flow, neighbor, acc, 0.17, 4,
+                                 interpret=True, dyn=False)
+    fd, ad = compose_tap_pallas(link, flow, neighbor, acc, 0.17, 4,
+                                interpret=True, dyn=True)
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(fs), atol=0)
+    np.testing.assert_allclose(np.asarray(ad), np.asarray(as_), atol=0)
+
+
 def test_row_tiling_exact(monkeypatch):
     import flowdenoising_tpu.ops.pallas.compose as C
     link, flow, neighbor, acc = _setup(b=1, h=48, w=40, seed=5)
