@@ -227,11 +227,32 @@ def _level_displacement(cfg: FlowConfig, level: int) -> int | None:
     return max(2, d)
 
 
+# Planes at/below this area run the split XLA iteration instead of the
+# fused Pallas programs: at 32^2 x b=256 the per-program launch floor makes
+# Pallas 2.3x SLOWER than XLA (1.13 vs 2.55 ms for 3 iterations, measured
+# on v5e); at 64^2 Pallas already wins 2x.
+_XLA_LEVEL_AREA = 2048
+
+
+def _small_level_iterate(r0, r1, flow, cfg: FlowConfig, d: int):
+    """Split XLA iteration for tiny pyramid planes (launch-floor regime)."""
+    m = update_matrices(r0, r1, flow, d, "windowed")
+    for i in range(cfg.iterations):
+        flow = update_flow(m, cfg.winsize, "xla")
+        if i < cfg.iterations - 1:
+            m = update_matrices(r0, r1, flow, d, "windowed")
+    return flow
+
+
 def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
     """Fixed-point iterations at one pyramid level (parallel-equivalent form
     of OpenCV's stripe-interleaved sweep; see module docstring)."""
     d = _level_displacement(cfg, level)
     packed = cfg.precision == "bfloat16"
+    if (d is not None
+            and r0.shape[-3] * r0.shape[-2] <= _XLA_LEVEL_AREA
+            and cfg.sampler in ("auto", "pallas", "pallas_xwin")):
+        return _small_level_iterate(r0, r1, flow, cfg, d)
     if d is not None and cfg.sampler in ("auto", "pallas", "pallas_xwin"):
         from flowdenoising_tpu.ops.pallas.sample import pallas_supported
         if pallas_supported():
@@ -375,16 +396,25 @@ def prepped_tap_solver(padded: jnp.ndarray, interior_start: int, n: int,
     for k, r in enumerate(r_levels):
         d_k = _level_displacement(cfg, k)
         hk, wk = sizes[k]
+        if hk * wk <= _XLA_LEVEL_AREA and d_k is not None:
+            # tiny level: the split XLA iteration beats the Pallas launch
+            # floor (see _XLA_LEVEL_AREA); keep the full-stack channels-LAST
+            # expansion plus the pre-sliced target form
+            r_cl = jnp.moveaxis(r, 1, -1)
+            r0_cl = jax.lax.slice_in_dim(r_cl, interior_start,
+                                         interior_start + n, axis=0)
+            preps.append(("xla", r_cl, r0_cl, hk, wk, d_k))
+            continue
         r0_tiles, r1_tiles, tiles = _umuf.prep_tiles_cf(
             r, d_k, wk, cfg.winsize, cfg.iterations, packed=packed,
             dyn=kn["dyn"], fused=kn["fused"],
             interior=(interior_start, n))
-        preps.append((r0_tiles, r1_tiles, tiles, hk, wk, d_k))
+        preps.append(("pallas", r0_tiles, r1_tiles, tiles, hk, wk, d_k))
 
     def solve(start, init_flow_cf=None):
         flow = None
         for k in range(levels, -1, -1):
-            r0_tiles, r1_tiles, tiles, hk, wk, d_k = preps[k]
+            hk, wk, d_k = preps[k][-3], preps[k][-2], preps[k][-1]
             if flow is None:
                 if cfg.use_initial_flow and init_flow_cf is not None:
                     scale = cfg.pyr_scale ** k
@@ -394,6 +424,14 @@ def prepped_tap_solver(padded: jnp.ndarray, interior_start: int, n: int,
                     flow = jnp.zeros((n, 2, hk, wk), jnp.float32)
             else:
                 flow = resize_linear(flow, (hk, wk)) * (1.0 / cfg.pyr_scale)
+            if preps[k][0] == "xla":
+                _, r_cl, r0_cl, hk, wk, d_k = preps[k]
+                r1_cl = jax.lax.dynamic_slice_in_dim(r_cl, start, n, axis=0)
+                f_cl = jnp.moveaxis(flow, 1, -1)
+                f_cl = _small_level_iterate(r0_cl, r1_cl, f_cl, cfg, d_k)
+                flow = jnp.moveaxis(f_cl, -1, 1).astype(jnp.float32)
+                continue
+            _, r0_tiles, r1_tiles, tiles, hk, wk, d_k = preps[k]
             fpad = _umuf._lane_pad_flow_cf(flow, wk)
             fpad = _umuf.umuf_iterate_prepped(
                 r0_tiles, r1_tiles, tiles, fpad, cfg.iterations, d_k,

@@ -290,9 +290,13 @@ def test_prepped_tap_solver_matches_flow_from_pyramids(seeded):
     r1_levels = [jax.lax.dynamic_slice_in_dim(x, start, n, axis=0)
                  for x in r_levels]
     # reference: force the Pallas interpret path through _iterate_level by
-    # computing per-level with umuf_iterate directly
+    # computing per-level with umuf_iterate directly (tiny levels route to
+    # the split XLA iteration, mirroring _iterate_level's launch-floor
+    # threshold)
     flow_ref = None
-    from flowdenoising_tpu.ops.farneback import _level_displacement, _umuf_opts
+    from flowdenoising_tpu.ops.farneback import (
+        _level_displacement, _umuf_opts, _small_level_iterate,
+        _XLA_LEVEL_AREA)
     from flowdenoising_tpu.ops.resize import resize_area, resize_linear
     kn = _umuf_opts()
     for k in range(levels, -1, -1):
@@ -308,9 +312,15 @@ def test_prepped_tap_solver_matches_flow_from_pyramids(seeded):
             f = jnp.moveaxis(flow_ref, -1, -3)
             f = resize_linear(f, (hk, wk)) * (1.0 / cfg.pyr_scale)
             flow_ref = jnp.moveaxis(f, -3, -1)
-        flow_ref = U.umuf_iterate(r0_levels[k], r1_levels[k], flow_ref,
-                                  cfg.iterations, _level_displacement(cfg, k),
-                                  cfg.winsize, interpret=True, **kn)
+        d_k = _level_displacement(cfg, k)
+        if hk * wk <= _XLA_LEVEL_AREA and d_k is not None:
+            flow_ref = _small_level_iterate(r0_levels[k], r1_levels[k],
+                                            flow_ref, cfg, d_k)
+            flow_ref = flow_ref.astype(jnp.float32)
+        else:
+            flow_ref = U.umuf_iterate(r0_levels[k], r1_levels[k], flow_ref,
+                                      cfg.iterations, d_k,
+                                      cfg.winsize, interpret=True, **kn)
     ref = np.asarray(flow_ref)
 
     solver = F.prepped_tap_solver(stack, ks2, n, cfg, interpret=True)
