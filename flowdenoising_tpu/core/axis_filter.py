@@ -272,7 +272,7 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
                     flow, acc = compose_tap_pallas(
                         link.astype(jnp.float32), flow.astype(jnp.float32),
                         neighbor.astype(jnp.float32), acc.astype(jnp.float32),
-                        weight, d,
+                        weight, d, packed=packed,
                         dyn=os.environ.get("FDTPU_COMPOSE_DYN", "0") == "1")
                     return (flow.astype(dtype), acc.astype(dtype)), None
                 link_cf = jnp.moveaxis(link, -1, -3)

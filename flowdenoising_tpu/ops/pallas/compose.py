@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flowdenoising_tpu.ops.pallas.sample import (
-    _round_up, _LANE, plane_row_tiles)
+    _round_up, _LANE, plane_row_tiles, pack_pairs, unpack_pair)
 
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 # dyn mode: extra source pad rows so the 8-aligned dynamic window (rounded
@@ -47,39 +47,42 @@ def compose_fits_vmem(th: int, w: int, d: int) -> bool:
     return needed <= _VMEM_BUDGET_BYTES
 
 
-def _sample_block(src_ref, ci, s_lo, n_rows, x0, i_a0, i_b0, use_b0,
-                  i_a1, i_b1, use_b1, tu, wy):
-    """One y-shift's bilinear x-gather contribution for channel ``ci``."""
-    rows_a = src_ref[0, ci, s_lo:s_lo + n_rows, pl.ds(x0, _LANE)]
-    rows_b = src_ref[0, ci, s_lo:s_lo + n_rows, pl.ds(x0 + _LANE, _LANE)]
-    ga0 = jnp.take_along_axis(rows_a, i_a0, axis=1, mode="promise_in_bounds")
-    gb0 = jnp.take_along_axis(rows_b, i_b0, axis=1, mode="promise_in_bounds")
-    g0 = jnp.where(use_b0, gb0, ga0)
-    ga1 = jnp.take_along_axis(rows_a, i_a1, axis=1, mode="promise_in_bounds")
-    gb1 = jnp.take_along_axis(rows_b, i_b1, axis=1, mode="promise_in_bounds")
-    g1 = jnp.where(use_b1, gb1, ga1)
-    return wy * (g0 + (g1 - g0) * tu)
-
-
 def _sample_rolled(rolled_a, rolled_b, i_a0, i_b0, use_b0,
-                   i_a1, i_b1, use_b1, tu, wy):
-    """One y-shift's bilinear x-gather contribution from pre-aligned rows."""
+                   i_a1, i_b1, use_b1, tu, wy, packed=False):
+    """One y-shift's bilinear x-gather contribution from aligned rows.
+
+    ``packed``: the rows hold bf16 column pairs (pack_pairs) -- a single
+    32-bit gather at the left index yields both bilinear x-neighbors,
+    halving the gather count at bfloat16 source precision."""
     ga0 = jnp.take_along_axis(rolled_a, i_a0, axis=1,
                               mode="promise_in_bounds")
     gb0 = jnp.take_along_axis(rolled_b, i_b0, axis=1,
                               mode="promise_in_bounds")
     g0 = jnp.where(use_b0, gb0, ga0)
-    ga1 = jnp.take_along_axis(rolled_a, i_a1, axis=1,
-                              mode="promise_in_bounds")
-    gb1 = jnp.take_along_axis(rolled_b, i_b1, axis=1,
-                              mode="promise_in_bounds")
-    g1 = jnp.where(use_b1, gb1, ga1)
+    if packed:
+        g0, g1 = unpack_pair(g0)
+    else:
+        ga1 = jnp.take_along_axis(rolled_a, i_a1, axis=1,
+                                  mode="promise_in_bounds")
+        gb1 = jnp.take_along_axis(rolled_b, i_b1, axis=1,
+                                  mode="promise_in_bounds")
+        g1 = jnp.where(use_b1, gb1, ga1)
     return wy * (g0 + (g1 - g0) * tu)
+
+
+def _sample_block(src_ref, ci, s_lo, n_rows, x0, i_a0, i_b0, use_b0,
+                  i_a1, i_b1, use_b1, tu, wy, packed=False):
+    """One y-shift's bilinear x-gather contribution for channel ``ci``."""
+    rows_a = src_ref[0, ci, s_lo:s_lo + n_rows, pl.ds(x0, _LANE)]
+    rows_b = src_ref[0, ci, s_lo:s_lo + n_rows, pl.ds(x0 + _LANE, _LANE)]
+    return _sample_rolled(rows_a, rows_b, i_a0, i_b0, use_b0,
+                          i_a1, i_b1, use_b1, tu, wy, packed)
 
 
 def _compose_kernel(link_ref, nb_ref, u_ref, v_ref, acc_ref, w_ref,
                     uo_ref, vo_ref, acco_ref, s0_ref, s1_ref, *,
-                    d: int, th: int, w_out: int, dyn: bool = False):
+                    d: int, th: int, w_out: int, dyn: bool = False,
+                    packed: bool = False):
     m = d + 1
     n_blk = w_out // _LANE
     zero = jnp.float32(0.0)
@@ -109,7 +112,8 @@ def _compose_kernel(link_ref, nb_ref, u_ref, v_ref, acc_ref, w_ref,
                 ra = pltpu.roll(wa, shift, axis=0)[:th]
                 rb = pltpu.roll(wb, shift, axis=0)[:th]
                 ref[...] += _sample_rolled(ra, rb, i_a0, i_b0, use_b0,
-                                           i_a1, i_b1, use_b1, tu, wy)
+                                           i_a1, i_b1, use_b1, tu, wy,
+                                           packed)
             return carry
 
         jax.lax.fori_loop(s_lo, s_hi + 1, body, 0)
@@ -148,9 +152,11 @@ def _compose_kernel(link_ref, nb_ref, u_ref, v_ref, acc_ref, w_ref,
                 def _(s=s, idx=idx, v=v):
                     wy = jnp.maximum(zero, one - jnp.abs(v - s))
                     s0_ref[...] += _sample_block(link_ref, 0, m + s, th, x0,
-                                                 *idx[1:], idx[0], wy)
+                                                 *idx[1:], idx[0], wy,
+                                                 packed)
                     s1_ref[...] += _sample_block(link_ref, 1, m + s, th, x0,
-                                                 *idx[1:], idx[0], wy)
+                                                 *idx[1:], idx[0], wy,
+                                                 packed)
         fu2 = fu + s0_ref[...]
         fv2 = fv + s1_ref[...]
         uo_ref[0, :, x0:x0 + _LANE] = fu2
@@ -171,13 +177,15 @@ def _compose_kernel(link_ref, nb_ref, u_ref, v_ref, acc_ref, w_ref,
                 def _(s=s, idx2=idx2, v2=v2):
                     wy = jnp.maximum(zero, one - jnp.abs(v2 - s))
                     s0_ref[...] += _sample_block(nb_ref, 0, m + s, th, x0,
-                                                 *idx2[1:], idx2[0], wy)
+                                                 *idx2[1:], idx2[0], wy,
+                                                 packed)
         acco_ref[0, :, x0:x0 + _LANE] = (
             acc_ref[0, :, x0:x0 + _LANE] + weight * s0_ref[...])
 
 
 def _compose_call(link_t, nb_t, u_t, v_t, acc_t, weight, *, d: int, th: int,
-                  w: int, interpret: bool, dyn: bool = False):
+                  w: int, interpret: bool, dyn: bool = False,
+                  packed: bool = False):
     """Kernel invocation on a row tile.  link_t: (B, 2, TH+2M, W) with M true
     context rows per side; nb_t: (B, 1, TH+2M, W); u/v/acc: (B, TH, W)."""
     b = link_t.shape[0]
@@ -188,6 +196,9 @@ def _compose_call(link_t, nb_t, u_t, v_t, acc_t, weight, *, d: int, th: int,
     pad_src = ((0, 0), (0, 0), (0, dyn_rows), (m, w_src - w - m))
     link_p = jnp.pad(link_t.astype(jnp.float32), pad_src, mode="edge")
     nb_p = jnp.pad(nb_t.astype(jnp.float32), pad_src, mode="edge")
+    if packed:
+        link_p = pack_pairs(link_p)
+        nb_p = pack_pairs(nb_p)
     pad_xy = ((0, 0), (0, 0), (0, w_out - w))
     u_p = jnp.pad(u_t.astype(jnp.float32), pad_xy)
     v_p = jnp.pad(v_t.astype(jnp.float32), pad_xy)
@@ -201,7 +212,8 @@ def _compose_call(link_t, nb_t, u_t, v_t, acc_t, weight, *, d: int, th: int,
         jax.ShapeDtypeStruct((b, th, w_out), jnp.float32),
     )
     uo, vo, acco = pl.pallas_call(
-        functools.partial(_compose_kernel, d=d, th=th, w_out=w_out, dyn=dyn),
+        functools.partial(_compose_kernel, d=d, th=th, w_out=w_out, dyn=dyn,
+                          packed=packed),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 2, hm, w_src), lambda bb: (bb, 0, 0, 0),
@@ -236,10 +248,11 @@ def _compose_call(link_t, nb_t, u_t, v_t, acc_t, weight, *, d: int, th: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_displacement", "interpret", "dyn"))
+                   static_argnames=("max_displacement", "interpret", "dyn",
+                                    "packed"))
 def _compose_tap_cf(link, neighbor, u, v, acc, weight,
                     max_displacement: int, interpret: bool = False,
-                    dyn: bool = False):
+                    dyn: bool = False, packed: bool = False):
     """Channel-first fused tap step.  link: (B, 2, H, W); neighbor, acc:
     (B, H, W); u, v: (B, H, W) -> (u', v', acc')."""
     b, c, h, w = link.shape
@@ -256,7 +269,7 @@ def _compose_tap_cf(link, neighbor, u, v, acc, weight,
         uo, vo, acco = _compose_call(
             link_p[:, :, a:a + th + 2 * m], nb_p[:, :, a:a + th + 2 * m],
             u[:, a:a + th], v[:, a:a + th], acc[:, a:a + th], weight,
-            d=d, th=th, w=w, interpret=interpret, dyn=dyn)
+            d=d, th=th, w=w, interpret=interpret, dyn=dyn, packed=packed)
         uos.append(uo); vos.append(vo); accos.append(acco)
     if len(uos) == 1:
         return uos[0], vos[0], accos[0]
@@ -267,7 +280,8 @@ def _compose_tap_cf(link, neighbor, u, v, acc, weight,
 def compose_tap_pallas(link: jnp.ndarray, flow: jnp.ndarray,
                        neighbor: jnp.ndarray, acc: jnp.ndarray,
                        weight, max_displacement: int,
-                       interpret: bool = False, dyn: bool = False):
+                       interpret: bool = False, dyn: bool = False,
+                       packed: bool = False):
     """Fused compose-mode tap step, channels-last API.
 
     link, flow: (..., H, W, 2); neighbor, acc: (..., H, W); weight: scalar.
@@ -275,6 +289,10 @@ def compose_tap_pallas(link: jnp.ndarray, flow: jnp.ndarray,
       flow' = flow + warp(link, flow)
       acc'  = acc + weight * warp(neighbor, flow').
 
+    ``packed``: sample the link field and neighbor at bfloat16 pair
+    precision (pack_pairs) -- one 32-bit gather yields both bilinear
+    x-neighbors, halving the tap step's gather count.  Used by the bf16
+    fast mode; flow/acc arithmetic stays float32.
     ``dyn``: the y-shift sampling loops run over each block's TRUE dynamic
     flow range instead of all 2d+2 statically predicated shifts --
     bitwise-identical output.  OFF by default: on the noisy bench volume
@@ -292,6 +310,6 @@ def compose_tap_pallas(link: jnp.ndarray, flow: jnp.ndarray,
     nb = neighbor.reshape((-1, h, w))
     ac = acc.reshape((-1, h, w))
     uo, vo, acco = _compose_tap_cf(link_cf, nb, u, v, ac, weight,
-                                   max_displacement, interpret, dyn)
+                                   max_displacement, interpret, dyn, packed)
     flow_out = jnp.stack([uo, vo], axis=-1).reshape(lead + (h, w, 2))
     return flow_out, acco.reshape(lead + (h, w))

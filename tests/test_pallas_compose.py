@@ -60,6 +60,22 @@ def test_dyn_matches_static(scale):
     np.testing.assert_allclose(np.asarray(ad), np.asarray(as_), atol=0)
 
 
+@pytest.mark.parametrize("dyn", [False, True])
+def test_packed_close_to_f32(dyn):
+    # bf16 pair-gather sampling: one gather yields both x-neighbors; values
+    # carry bfloat16 relative error (~2^-8) vs the f32 path.
+    link, flow, neighbor, acc = _setup(seed=9)
+    fr, ar = compose_tap_pallas(link, flow, neighbor, acc, 0.13, 4,
+                                interpret=True)
+    fp, ap = compose_tap_pallas(link, flow, neighbor, acc, 0.13, 4,
+                                interpret=True, dyn=dyn, packed=True)
+    # flow updates add |link| <= ~2.4-magnitude samples at bf16 precision
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fr), atol=0.03)
+    # acc adds weight * |neighbor| <= ~200-magnitude bf16 samples
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ar), atol=0.6)
+    assert np.abs(np.asarray(ap) - np.asarray(ar)).mean() < 0.1
+
+
 def test_row_tiling_exact(monkeypatch):
     import flowdenoising_tpu.ops.pallas.compose as C
     link, flow, neighbor, acc = _setup(b=1, h=48, w=40, seed=5)
