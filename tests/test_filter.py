@@ -105,6 +105,31 @@ def test_full_denoise_meanpad_matches_sequential():
     assert R.psnr(ours, ref) > 55, R.psnr(ours, ref)
 
 
+def test_anisotropic_sigma_matches_reference():
+    # BASELINE.json config 3: sigma_z != sigma_y != sigma_x -- per-axis tap
+    # counts differ (0.5 -> 5 taps, 1.0 -> 9) and each pass must pick ITS
+    # axis's kernel.
+    vol = make_blob_volume(10, 32, 36, seed=7)
+    sigma = (0.5, 1.0, 0.75)
+    ks = get_gaussian_kernels(sigma)
+    assert len({len(k) for k in ks}) > 1
+    cfg = FilterConfig(sigma=sigma, boundary=Boundary.WRAP,
+                       flow=FlowConfig(levels=L, winsize=W,
+                                       max_displacement=None))
+    ours = np.asarray(denoise(vol, cfg))
+    ref = R.of_denoise_wrap(vol, ks, L, W, seeded=True)
+    assert R.psnr(ours, ref) > 55, R.psnr(ours, ref)
+
+
+def test_anisotropic_sigma_gaussian_matches_reference():
+    vol = make_blob_volume(10, 32, 36, seed=8)
+    sigma = (0.5, 2.0, 1.0)
+    ks = get_gaussian_kernels(sigma)
+    ours = np.asarray(gaussian_denoise(vol, sigma, Boundary.WRAP))
+    ref = R.gaussian_denoise_wrap(vol, ks)
+    np.testing.assert_allclose(ours, ref, atol=5e-3)
+
+
 def test_slab_mode_identical():
     vol = make_blob_volume(12, 32, 32, seed=4)
     cfg_full = FilterConfig(sigma=(SIGMA,) * 3, flow=FlowConfig(levels=0, winsize=W))
