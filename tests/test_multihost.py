@@ -70,15 +70,19 @@ def test_two_process_sharded_matches_single(tmp_path, mode):
     assert err.max() < 5e-3, err.max()
 
 
-def test_two_process_cli_file_to_file(tmp_path):
+@pytest.mark.parametrize("z", [16, 14])
+def test_two_process_cli_file_to_file(tmp_path, z):
     """The full distributed USER path: two CLI processes against one shared
     input MRC, each memory-map-reading only its Z shard
     (parallel/ingest.py) and writing only its shards of the single shared
     output file (parallel/distributed.py::write_mrc_sharded).  Output must
-    match the single-process CLI pipeline."""
+    match the single-process CLI pipeline.
+
+    z=14 exercises the uneven-Z path: replicated ingest fallback,
+    pad+crop sharded passes, and non-Z-contiguous sharded output writes."""
     from flowdenoising_tpu.io.mrc import read_mrc, write_mrc
 
-    vol = make_blob_volume(16, 24, 16, seed=23).astype(np.float32)
+    vol = make_blob_volume(z, 24, 16, seed=23).astype(np.float32)
     inp = tmp_path / "in.mrc"
     outp = tmp_path / "out.mrc"
     write_mrc(inp, vol)
