@@ -85,6 +85,10 @@ def _axis_views():
 # the edge-padded reference form (x ~1.25 pad growth) -- plus flow scan
 # carries, accumulators, and source copies (~8 ch-equivalents), float32.
 _BYTES_PER_VOXEL = 4 * (5 * 1.4 + 5 * 1.4 * 1.25 + 8)
+# The default f32 solve path samples from the even/odd-deinterleaved
+# reference form with phase copies (umuf eo=1): its reference operand is
+# ~2.2-2.4x the interleaved one (4 half-width lane-padded planes).
+_BYTES_PER_VOXEL_EO = 4 * (5 * 1.4 + 5 * 1.4 * 1.25 * 2.4 + 8)
 # Compose tap modes additionally hold two adjacent-flow stacks (2 ch x 2
 # directions) across the tap scan.
 _BYTES_PER_VOXEL_COMPOSE = _BYTES_PER_VOXEL + 4 * 4
@@ -126,7 +130,8 @@ def _cached_pass(taps_key: tuple, boundary: Boundary, flow_key, slab):
 
 
 def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool,
-               tap_mode: str = "solve") -> int | None:
+               tap_mode: str = "solve",
+               solve_eo: bool = False) -> int | None:
     """Pick a slab size so a pass's working set stays within budget.
 
     The slab must come from the model, never rounded UP past it: a
@@ -136,7 +141,10 @@ def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool,
     """
     if not use_flow:
         return None
-    bpv = _BYTES_PER_VOXEL if tap_mode == "solve" else _BYTES_PER_VOXEL_COMPOSE
+    if tap_mode == "solve":
+        bpv = _BYTES_PER_VOXEL_EO if solve_eo else _BYTES_PER_VOXEL
+    else:
+        bpv = _BYTES_PER_VOXEL_COMPOSE
     per_slice = h * w * bpv
     if (n + 2 * ks2) * per_slice <= _AUTO_SLAB_BUDGET:
         return None
@@ -292,9 +300,13 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
 
         slab = cfg.slab_size
         if slab is None:
+            from flowdenoising_tpu.ops.farneback import _umuf_opts
+            solve_eo = bool(_umuf_opts()["eo"]) and \
+                cfg.flow.precision != "bfloat16"
             plane = [vol_shape[ax] for ax in target[1:]]
             slab = _auto_slab(vol_shape[target[0]], plane[0], plane[1],
-                              len(taps) // 2, cfg.use_flow, cfg.flow.tap_mode)
+                              len(taps) // 2, cfg.use_flow, cfg.flow.tap_mode,
+                              solve_eo)
 
         # jit per pass: keeps the CLI path compiled (eager dispatch through
         # remote PJRT transports is prohibitively slow) while still allowing

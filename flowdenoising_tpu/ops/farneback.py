@@ -273,6 +273,8 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
             # "nofuse" reverts to one Pallas program per iteration instead
             # of all iterations chained inside one program per row tile.
             kn = _umuf_opts(xwin)
+            if packed:
+                kn["eo"] = 0  # eo is the f32 sampling form
             return umuf_iterate(r0, r1, flow.astype(r0.dtype),
                                 cfg.iterations, d, cfg.winsize,
                                 packed=packed and not xwin,
@@ -351,15 +353,27 @@ def _umuf_opts(xwin: bool = False):
     their extra trip reduction earns, because per-pixel flow NOISE keeps
     any >=1k-pixel group's range wide (round-2 measurement, scripts/
     prepped_probe.py with PROBE_FLOW=noisy).
+
+    "eo" (default, f32 path): even/odd-deinterleaved reference sampling
+    with 64-lane phase copies -- one single-vreg gather per bilinear
+    neighbor instead of a two-window gather+select pair; measured -30% on
+    the full 256^3 solve denoise (4.82 -> 3.36 s, r2).  "eonp" is the
+    phase-copy-free form (half the operand HBM of eo): its unaligned lane
+    windows cost a Mosaic relayout per trip that gives back most of the
+    win (4.28 s on the same run) -- kept for HBM-limit regimes.
     """
-    opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu,rg64").split(",")
+    opts = os.environ.get("FDTPU_UMUF_OPTS", "dyn,mxu,rg64,eo").split(",")
     rg = 0
     for o in opts:
         if o.startswith("rg") and o[2:].isdigit():
             rg = int(o[2:])
+    eo = 0
+    if "dyn" in opts and not xwin:
+        eo = 1 if "eo" in opts else (2 if "eonp" in opts else 0)
     return {"dyn": "dyn" in opts and not xwin,
             "mxu": "mxu" in opts,
             "rg": rg,
+            "eo": eo,
             "fused": "nofuse" not in opts}
 
 
@@ -391,6 +405,8 @@ def prepped_tap_solver(padded: jnp.ndarray, interior_start: int, n: int,
     sizes = pyramid_sizes(h, w, levels, cfg.pyr_scale)
     packed = cfg.precision == "bfloat16"
     kn = _umuf_opts()
+    if packed:
+        kn["eo"] = 0  # eo is the f32 sampling form
     r_levels = polyexp_pyramid(padded, cfg, channel_first=True)
     preps = []
     for k, r in enumerate(r_levels):
@@ -407,7 +423,7 @@ def prepped_tap_solver(padded: jnp.ndarray, interior_start: int, n: int,
             continue
         r0_tiles, r1_tiles, tiles = _umuf.prep_tiles_cf(
             r, d_k, wk, cfg.winsize, cfg.iterations, packed=packed,
-            dyn=kn["dyn"], fused=kn["fused"],
+            dyn=kn["dyn"], eo=kn["eo"], fused=kn["fused"],
             interior=(interior_start, n))
         preps.append(("pallas", r0_tiles, r1_tiles, tiles, hk, wk, d_k))
 
@@ -436,7 +452,7 @@ def prepped_tap_solver(padded: jnp.ndarray, interior_start: int, n: int,
             fpad = _umuf.umuf_iterate_prepped(
                 r0_tiles, r1_tiles, tiles, fpad, cfg.iterations, d_k,
                 cfg.winsize, h=hk, w=wk, r1_start=start, packed=packed,
-                dyn=kn["dyn"], mxu=kn["mxu"], rg=kn["rg"],
+                dyn=kn["dyn"], mxu=kn["mxu"], rg=kn["rg"], eo=kn["eo"],
                 fused=kn["fused"],
                 interpret=interpret)
             flow = fpad[:, :, :, :wk]

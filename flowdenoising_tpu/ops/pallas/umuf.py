@@ -47,13 +47,18 @@ _DYN_PAD = 16
 
 
 def umuf_fits_vmem(th: int, w: int, d: int, winsize: int,
-                   iters: int = 1) -> bool:
+                   iters: int = 1, eo: int = 0) -> bool:
     """Whether one batch program's operands + M scratch fit the VMEM budget."""
     m = d + 1
     r = winsize // 2
     hm = th + 2 * r * iters
     w_out = _round_up(w, _LANE)
     w_src = w_out + _LANE
+    if eo:
+        # even/odd deinterleaved r1: eo=1 -> 4 planes (2 parities x 2 phase
+        # copies, ~2x the interleaved operand); eo=2 -> 2 planes (no phase
+        # copies, ~1x, unaligned lane windows)
+        w_src = (4 if eo == 1 else 2) * _round_up(w_src // 2, _LANE)
     needed = 4 * (_CH * (hm + 2 * m + _DYN_PAD) * w_src  # r1 (+dyn pad rows)
                   + _CH * hm * w_out              # r0
                   + 2 * hm * w_out                # u, v
@@ -84,7 +89,7 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
                  w_true: int, a: int, m0: int, h_true: int, iters: int = 1,
                  packed: bool = False, xwin: bool = False,
                  dyn: bool = False, mxu: bool = False,
-                 rg: int = 0, zero_tail: bool = False,
+                 rg: int = 0, eo: int = 0, zero_tail: bool = False,
                  _phases: str = "both"):
     """One batch element.  r0/u/v cover M rows [m0, m0+hm); r1p additionally
     carries d+1 context rows per side; out covers output rows [a, a+th).
@@ -105,6 +110,13 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
     ``mxu``: phase 2's box aggregation runs as two banded 0/1 matmuls
     (Bh @ M @ Bw) on the MXU, border replication folded into the band
     weights, instead of ~50 full-plane VPU shift-adds.
+    ``eo``: r1p is stored column-DEINTERLEAVED (planes [E0, O0, E64, O64]:
+    even/odd columns, plus 64-entry-shifted phase copies so every 128-lane
+    block finds an aligned window).  The bilinear x-pair (l, l+1) always
+    splits one-each across E and O, and the per-parity gather indices
+    ((l+1)>>1 into E, l>>1 into O) span only [0, 64+d] -- a single-vreg
+    gather per neighbor, so each trip needs 2 lane gathers instead of 4
+    (plus two parity selects replacing the two window selects).
     """
     if mxu:
         if iters > 1:
@@ -142,7 +154,7 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
         bw_ref=bw_ref if mxu else None,
         d=d, winsize=winsize, th=th, hm=hm, w_out=w_out, w_true=w_true,
         a=a, m0=m0, h_true=h_true, iters=iters, packed=packed, xwin=xwin,
-        dyn=dyn, mxu=mxu, rg=rg, zero_tail=zero_tail, _phases=_phases,
+        dyn=dyn, mxu=mxu, rg=rg, eo=eo, zero_tail=zero_tail, _phases=_phases,
         col=col, row=row, row_w=row_w, n_blk=n_blk,
         consts=(zero, one, half, quarter))
 
@@ -150,7 +162,10 @@ def _umuf_kernel(r0_ref, r1p_ref, u_ref, v_ref, *rest,
 def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                    f_ref, bh_ref, bhf_ref, bw_ref, d, winsize, th, hm, w_out,
                    w_true, a, m0, h_true, iters, packed, xwin, dyn, mxu, rg,
-                   zero_tail, _phases, col, row, row_w, n_blk, consts):
+                   eo, zero_tail, _phases, col, row, row_w, n_blk, consts):
+    if eo:
+        assert dyn and not packed and not xwin, \
+            "eo sampling requires the dyn path (f32, non-xwin)"
     zero, one, half, quarter = consts
     m = d + 1
     r = winsize // 2
@@ -208,6 +223,13 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                                 acc_ref[c] += wxy * rows
         else:
             l_idx = col + m + iui
+            if eo:
+                # parity and per-parity single-vreg gather indices
+                # (trip-invariant): the bilinear pair (l, l+1) is always one
+                # even + one odd column; indices span [0, 64+d] < 128.
+                i_e = jnp.clip((l_idx + 1) >> 1, 0, _LANE - 1)
+                i_o = jnp.clip(l_idx >> 1, 0, _LANE - 1)
+                par = (l_idx & 1) == 0
             i_a0 = jnp.clip(l_idx, 0, _LANE - 1)
             i_b0 = jnp.clip(l_idx - _LANE, 0, _LANE - 1)
             use_b0 = l_idx >= _LANE
@@ -247,12 +269,44 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                     terms.append(g0 * w0 + g1 * w1)
                 return terms
 
+            def _gather_term_eo(rows_of_c, wy, tug, ie, io, parity):
+                # deinterleaved sampling: one gather per bilinear neighbor
+                # (rows_of_c returns the block's rolled E and O windows);
+                # parity routes (g0, g1) = even l ? (E, O) : (O, E)
+                w1 = wy * tug
+                w0 = wy - w1
+                terms = []
+                for c in range(_CH):
+                    rows_e, rows_o = rows_of_c(c)
+                    ge = _take(rows_e, ie)
+                    go = _take(rows_o, io)
+                    g0 = jnp.where(parity, ge, go)
+                    g1 = jnp.where(parity, go, ge)
+                    terms.append(g0 * w0 + g1 * w1)
+                return terms
+
             def _s_accum(rows_of_c, s_f):
                 wy = jnp.maximum(zero, one - jnp.abs(v - s_f))
-                terms = _gather_term(rows_of_c, wy, tu, i_a0, i_b0, use_b0,
-                                     None if packed else (i_a1, i_b1, use_b1))
+                if eo:
+                    terms = _gather_term_eo(rows_of_c, wy, tu, i_e, i_o, par)
+                else:
+                    terms = _gather_term(
+                        rows_of_c, wy, tu, i_a0, i_b0, use_b0,
+                        None if packed else (i_a1, i_b1, use_b1))
                 for c in range(_CH):
                     acc_ref[c] += terms[c]
+
+            # eo window plane indices/base (static per block): eo=1 -- even
+            # blocks read the [E0, O0] planes at aligned base (blk//2)*128,
+            # odd blocks the 64-shifted [E64, O64] planes at the same base;
+            # eo=2 -- two planes only, window at (possibly 64-offset)
+            # base blk*64 (Mosaic relayouts the unaligned lane slice).
+            if eo == 1:
+                eo_ph = 2 * (blk & 1)
+                eo_base = (blk // 2) * _LANE
+            elif eo:
+                eo_ph = 0
+                eo_base = blk * (_LANE // 2)
 
             if dyn and rg:
                 # Row groups: the y-shift trip count is set by the TRUE flow
@@ -292,42 +346,72 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                     # loop (the whole-block path recomputes nothing per
                     # shift either -- total clip work is unchanged)
                     lg = l_idx8[ga:gb]
-                    ia0g = jnp.clip(lg, 0, _LANE - 1)
-                    ib0g = jnp.clip(lg - _LANE, 0, _LANE - 1)
-                    ub0g = lg >= _LANE
-                    if not packed:
-                        l1g = lg + 1
-                        idx1g = (jnp.clip(l1g, 0, _LANE - 1),
-                                 jnp.clip(l1g - _LANE, 0, _LANE - 1),
-                                 l1g >= _LANE)
+                    if eo:
+                        ieg = jnp.clip((lg + 1) >> 1, 0, _LANE - 1)
+                        iog = jnp.clip(lg >> 1, 0, _LANE - 1)
+                        parg = (lg & 1) == 0
                     else:
-                        idx1g = None
+                        ia0g = jnp.clip(lg, 0, _LANE - 1)
+                        ib0g = jnp.clip(lg - _LANE, 0, _LANE - 1)
+                        ub0g = lg >= _LANE
+                        if not packed:
+                            l1g = lg + 1
+                            idx1g = (jnp.clip(l1g, 0, _LANE - 1),
+                                     jnp.clip(l1g - _LANE, 0, _LANE - 1),
+                                     l1g >= _LANE)
+                        else:
+                            idx1g = None
                     s_lo = jnp.floor(jnp.min(vg)).astype(jnp.int32)
                     s_hi = jnp.floor(jnp.max(vg)).astype(jnp.int32) + 1
                     nw = _round_up(gn + 7, 8)
 
-                    def s_body(sv, carry, ga=ga, gn=gn, gv=gv, nw=nw,
-                               vg=vg, tug=tug, ia0g=ia0g, ib0g=ib0g,
-                               ub0g=ub0g, idx1g=idx1g):
-                        base = ga + m + sv
-                        aligned = pl.multiple_of((base // 8) * 8, 8)
-                        off = base - aligned
-                        shift = jax.lax.rem(nw - off, nw)
+                    if eo:
+                        def s_body(sv, carry, ga=ga, gn=gn, gv=gv, nw=nw,
+                                   vg=vg, tug=tug, ieg=ieg, iog=iog,
+                                   parg=parg):
+                            base = ga + m + sv
+                            aligned = pl.multiple_of((base // 8) * 8, 8)
+                            off = base - aligned
+                            shift = jax.lax.rem(nw - off, nw)
 
-                        def rows_of_c(c):
-                            wa = r1p_ref[0, c, pl.ds(aligned, nw),
-                                         pl.ds(x0, _LANE)]
-                            wb = r1p_ref[0, c, pl.ds(aligned, nw),
-                                         pl.ds(x0 + _LANE, _LANE)]
-                            return (pltpu.roll(wa, shift, axis=0)[:gn],
-                                    pltpu.roll(wb, shift, axis=0)[:gn])
-                        s_f = sv.astype(jnp.float32)
-                        wy = jnp.maximum(zero, one - jnp.abs(vg - s_f))
-                        terms = _gather_term(rows_of_c, wy, tug, ia0g, ib0g,
-                                             ub0g, idx1g)
-                        for c in range(_CH):
-                            acc_ref[c, ga:gv] += terms[c][:gv - ga]
-                        return carry
+                            def rows_of_c(c):
+                                we = r1p_ref[0, c, eo_ph, pl.ds(aligned, nw),
+                                             pl.ds(eo_base, _LANE)]
+                                wo = r1p_ref[0, c, eo_ph + 1,
+                                             pl.ds(aligned, nw),
+                                             pl.ds(eo_base, _LANE)]
+                                return (pltpu.roll(we, shift, axis=0)[:gn],
+                                        pltpu.roll(wo, shift, axis=0)[:gn])
+                            s_f = sv.astype(jnp.float32)
+                            wy = jnp.maximum(zero, one - jnp.abs(vg - s_f))
+                            terms = _gather_term_eo(rows_of_c, wy, tug,
+                                                    ieg, iog, parg)
+                            for c in range(_CH):
+                                acc_ref[c, ga:gv] += terms[c][:gv - ga]
+                            return carry
+                    else:
+                        def s_body(sv, carry, ga=ga, gn=gn, gv=gv, nw=nw,
+                                   vg=vg, tug=tug, ia0g=ia0g, ib0g=ib0g,
+                                   ub0g=ub0g, idx1g=idx1g):
+                            base = ga + m + sv
+                            aligned = pl.multiple_of((base // 8) * 8, 8)
+                            off = base - aligned
+                            shift = jax.lax.rem(nw - off, nw)
+
+                            def rows_of_c(c):
+                                wa = r1p_ref[0, c, pl.ds(aligned, nw),
+                                             pl.ds(x0, _LANE)]
+                                wb = r1p_ref[0, c, pl.ds(aligned, nw),
+                                             pl.ds(x0 + _LANE, _LANE)]
+                                return (pltpu.roll(wa, shift, axis=0)[:gn],
+                                        pltpu.roll(wb, shift, axis=0)[:gn])
+                            s_f = sv.astype(jnp.float32)
+                            wy = jnp.maximum(zero, one - jnp.abs(vg - s_f))
+                            terms = _gather_term(rows_of_c, wy, tug, ia0g,
+                                                 ib0g, ub0g, idx1g)
+                            for c in range(_CH):
+                                acc_ref[c, ga:gv] += terms[c][:gv - ga]
+                            return carry
 
                     jax.lax.fori_loop(s_lo, s_hi + 1, s_body, 0)
             elif dyn:
@@ -348,6 +432,14 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                     off = base - aligned
                     shift = jax.lax.rem(nw - off, nw)
 
+                    def rows_of_c_eo(c):
+                        we = r1p_ref[0, c, eo_ph, pl.ds(aligned, nw),
+                                     pl.ds(eo_base, _LANE)]
+                        wo = r1p_ref[0, c, eo_ph + 1, pl.ds(aligned, nw),
+                                     pl.ds(eo_base, _LANE)]
+                        return (pltpu.roll(we, shift, axis=0)[:hm],
+                                pltpu.roll(wo, shift, axis=0)[:hm])
+
                     def rows_of_c(c):
                         wa = r1p_ref[0, c, pl.ds(aligned, nw),
                                      pl.ds(x0, _LANE)]
@@ -355,7 +447,7 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
                                      pl.ds(x0 + _LANE, _LANE)]
                         return (pltpu.roll(wa, shift, axis=0)[:hm],
                                 pltpu.roll(wb, shift, axis=0)[:hm])
-                    return rows_of_c
+                    return rows_of_c_eo if eo else rows_of_c
 
                 def s_body(sv, carry):
                     _s_accum(rows_for(sv), sv.astype(jnp.float32))
@@ -528,40 +620,62 @@ def prepare_r0_cf(r0cf, w: int):
     return jnp.pad(r0cf, ((0, 0),) * (r0cf.ndim - 1) + ((0, w_out - w),))
 
 
-def prepare_r1_cf(r1cf, d: int, w: int, packed: bool, dyn: bool):
+def prepare_r1_cf(r1cf, d: int, w: int, packed: bool, dyn: bool,
+                  eo: int = 0):
     """r1 operand form: channel-first with m=d+1 edge-replicated context
     rows/cols (plus a lane of right padding for the two-window gather),
     optionally bf16-pair packed, plus throwaway rows for dyn mode's
-    8-aligned dynamic windows."""
+    8-aligned dynamic windows.
+
+    ``eo``: instead of the interleaved plane, four half-width deinterleaved
+    planes stacked on a new axis before the rows: [E0, O0, E64, O64]
+    (even/odd columns and their 64-entry-shifted phase copies; see
+    _umuf_kernel docstring).  ~2x the operand bytes, half the gathers.
+    """
     m = d + 1
     w_out = _round_up(w, _LANE)
     w_src = w_out + _LANE
     lead = ((0, 0),) * (r1cf.ndim - 3)
     r1p = jnp.pad(r1cf.astype(jnp.float32),
                   lead + ((0, 0), (m, m), (m, w_src - w - m)), mode="edge")
-    if packed:
+    if eo:
+        assert not packed, "eo sampling is the f32 path"
+        w_hp = _round_up(w_src // 2, _LANE)
+
+        def _padw(x):
+            pw = w_hp - x.shape[-1]
+            return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pw),))
+
+        planes = [_padw(r1p[..., 0::2]), _padw(r1p[..., 1::2])]
+        if eo == 1:
+            planes += [_padw(r1p[..., 128::2]), _padw(r1p[..., 129::2])]
+        r1p = jnp.stack(planes, axis=-3)
+    elif packed:
         r1p = pack_pairs(r1p)
     if dyn:
         # throwaway rows so the 8-aligned dynamic window (rounded up to a
         # sublane multiple, <= hm+14 rows) never overruns
-        r1p = jnp.pad(r1p, lead + ((0, 0), (0, _DYN_PAD), (0, 0)))
+        pad = ((0, 0),) * (r1p.ndim - 2) + ((0, _DYN_PAD), (0, 0))
+        r1p = jnp.pad(r1p, pad)
     return r1p
 
 
-def _prepare_cf(r0cf, r1cf, d: int, w: int, packed: bool, dyn: bool):
+def _prepare_cf(r0cf, r1cf, d: int, w: int, packed: bool, dyn: bool,
+                eo: int = 0):
     """One-time per (tap, level) data prep shared by every iteration:
     channel-first lane-padded r0 and row+lane edge-padded (optionally
-    bf16-pair packed) r1.  Hoisting this out of the iteration loop removes
-    ~2/3 of the XLA-side data movement of the old per-call API."""
+    bf16-pair packed or eo-deinterleaved) r1.  Hoisting this out of the
+    iteration loop removes ~2/3 of the XLA-side data movement of the old
+    per-call API."""
     return (prepare_r0_cf(r0cf, w),
-            prepare_r1_cf(r1cf, d, w, packed, dyn))
+            prepare_r1_cf(r1cf, d, w, packed, dyn, eo))
 
 
 def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
                a: int, m0: int, h_true: int, w: int, interpret: bool,
                iters: int = 1, packed: bool = False, xwin: bool = False,
                dyn: bool = False, mxu: bool = False, rg: int = 0,
-               r1_start=None, _phases: str = "both"):
+               eo: int = 0, r1_start=None, _phases: str = "both"):
     """One row tile, PRE-PREPARED operands (see _prepare_cf): r0_t
     (b, 5, hm, w_out); r1_t (b, 5, hm+2m[+pad], w_src) [packed dtype when
     packed]; u_t, v_t (b, hm, w_out) with zeroed pad lanes.  ``iters``
@@ -581,8 +695,7 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
     # would crowd VMEM (and the matmul grows quadratically), so wide planes
     # fall back to the VPU shift-add phase 2.
     mxu = mxu and w_out <= 512
-    w_src = w_out + _LANE
-    r1_rows = r1_t.shape[2]
+    r1_rows = r1_t.shape[-2]
     prefetch = r1_start is not None
 
     def _spec(shape, imap):
@@ -592,12 +705,17 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
                                 memory_space=pltpu.VMEM)
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
+    # eo r1 carries an extra plane axis (eo=1: E0/O0/E64/O64; eo=2: E/O)
+    # before the rows
+    r1_blk = ((1, _CH, 4 if eo == 1 else 2, r1_rows, r1_t.shape[-1]) if eo
+              else (1, _CH, r1_rows, r1_t.shape[-1]))
+    r1_zeros = (0,) * (len(r1_blk) - 1)
     if prefetch:
-        r1_spec = pl.BlockSpec((1, _CH, r1_rows, w_src),
-                               lambda bb, s: (s[0] + bb, 0, 0, 0),
+        r1_spec = pl.BlockSpec(r1_blk,
+                               lambda bb, s: (s[0] + bb,) + r1_zeros,
                                memory_space=pltpu.VMEM)
     else:
-        r1_spec = _spec((1, _CH, r1_rows, w_src), lambda bb: (bb, 0, 0, 0))
+        r1_spec = _spec(r1_blk, lambda bb: (bb,) + r1_zeros)
 
     in_specs = [
         _spec((1, _CH, hm, w_out), lambda bb: (bb, 0, 0, 0)),
@@ -625,7 +743,7 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
         _umuf_kernel, d=d, winsize=winsize, th=th, hm=hm,
         w_out=w_out, w_true=w, a=a, m0=m0, h_true=h_true,
         iters=iters, packed=packed, xwin=xwin, dyn=dyn,
-        mxu=mxu, rg=rg, zero_tail=w_out > w, _phases=_phases)
+        mxu=mxu, rg=rg, eo=eo, zero_tail=w_out > w, _phases=_phases)
     out_shape = jax.ShapeDtypeStruct((b, 2, th, w_out), jnp.float32)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     if prefetch:
@@ -662,12 +780,13 @@ def _umuf_call(r0_t, r1_t, u_t, v_t, *, d: int, winsize: int, th: int,
 @functools.partial(jax.jit,
                    static_argnames=("max_displacement", "winsize", "iters",
                                     "interpret", "packed", "xwin", "dyn",
-                                    "mxu", "rg", "fused", "_phases"))
+                                    "mxu", "rg", "eo", "fused", "_phases"))
 def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray, flow_cf: jnp.ndarray,
                     max_displacement: int, winsize: int, iters: int = 1,
                     interpret: bool = False, packed: bool = False,
                     xwin: bool = False, dyn: bool = False, mxu: bool = False,
-                    rg: int = 0, fused: bool = True, _phases: str = "both"):
+                    rg: int = 0, eo: int = 0, fused: bool = True,
+                    _phases: str = "both"):
     """Channel-first fused iterationS.  r0, r1: (B, 5, H, W); flow_cf:
     (B, 2, H, w_out) lane-padded with ZERO pad lanes -> updated flow_cf of
     the same shape.  Data prep happens once.  With ``fused`` all iterations
@@ -682,11 +801,11 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray, flow_cf: jnp.ndarray,
     m = d + 1
     r = winsize // 2
 
-    r0_p, r1p = _prepare_cf(r0, r1, d, w, packed, dyn)
+    r0_p, r1p = _prepare_cf(r0, r1, d, w, packed, dyn, eo)
     in_k = iters if (fused and _phases == "both") else 1
     margin = r * in_k
     tiles = plane_row_tiles(
-        h, lambda th: umuf_fits_vmem(th, w, d, winsize, in_k))
+        h, lambda th: umuf_fits_vmem(th, w, d, winsize, in_k, eo))
     for _ in range(iters // in_k):
         outs = []
         for a, th in tiles:
@@ -694,11 +813,11 @@ def _umuf_pallas_cf(r0: jnp.ndarray, r1: jnp.ndarray, flow_cf: jnp.ndarray,
             m1 = min(h, a + th + margin)
             r1_hi = m1 + 2 * m + (_DYN_PAD if dyn else 0)
             outs.append(_umuf_call(
-                r0_p[:, :, m0:m1], r1p[:, :, m0:r1_hi],
+                r0_p[:, :, m0:m1], r1p[..., m0:r1_hi, :],
                 flow_cf[:, 0, m0:m1], flow_cf[:, 1, m0:m1],
                 d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
                 interpret=interpret, iters=in_k, packed=packed, xwin=xwin,
-                dyn=dyn, mxu=mxu, rg=rg, _phases=_phases))
+                dyn=dyn, mxu=mxu, rg=rg, eo=eo, _phases=_phases))
         flow_cf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
     return flow_cf
 
@@ -711,7 +830,8 @@ def _lane_pad_flow_cf(flow_cf, w):
 
 
 def prep_tiles_cf(rcf_full, d: int, w: int, winsize: int, iters: int, *,
-                  packed: bool = False, dyn: bool = False, fused: bool = True,
+                  packed: bool = False, dyn: bool = False, eo: int = 0,
+                  fused: bool = True,
                   interior: tuple[int, int] | None = None):
     """Per-(pass, level) one-time operand prep of a FULL padded-stack
     expansion, row-tiled.
@@ -732,26 +852,27 @@ def prep_tiles_cf(rcf_full, d: int, w: int, winsize: int, iters: int, *,
     in_k = iters if fused else 1
     margin = r * in_k
     tiles = plane_row_tiles(
-        h, lambda th: umuf_fits_vmem(th, w, d, winsize, in_k))
+        h, lambda th: umuf_fits_vmem(th, w, d, winsize, in_k, eo))
     r0_p = prepare_r0_cf(rcf_full, w)
     if interior is not None:
         s0, n = interior
         r0_p = jax.lax.slice_in_dim(r0_p, s0, s0 + n, axis=0)
-    r1p = prepare_r1_cf(rcf_full, d, w, packed, dyn)
+    r1p = prepare_r1_cf(rcf_full, d, w, packed, dyn, eo)
     r0_tiles, r1_tiles = [], []
     for a, th in tiles:
         m0 = max(0, a - margin)
         m1 = min(h, a + th + margin)
         r1_hi = m1 + 2 * m + (_DYN_PAD if dyn else 0)
         r0_tiles.append(r0_p[:, :, m0:m1])
-        r1_tiles.append(r1p[:, :, m0:r1_hi])
+        r1_tiles.append(r1p[..., m0:r1_hi, :])
     return r0_tiles, r1_tiles, tiles
 
 
 def umuf_iterate_prepped(r0_tiles, r1_tiles, tiles, flow_cf, iters: int,
                          d: int, winsize: int, *, h: int, w: int, r1_start,
                          packed: bool = False, dyn: bool = False,
-                         mxu: bool = False, rg: int = 0, fused: bool = True,
+                         mxu: bool = False, rg: int = 0, eo: int = 0,
+                         fused: bool = True,
                          interpret: bool = False) -> jnp.ndarray:
     """``iters`` chained fused Farneback iterations over PRE-TILED operands
     (see ``prep_tiles_cf``), channel-first.
@@ -771,7 +892,7 @@ def umuf_iterate_prepped(r0_tiles, r1_tiles, tiles, flow_cf, iters: int,
                 r0_t, r1_t, flow_cf[:, 0, m0:m1], flow_cf[:, 1, m0:m1],
                 d=d, winsize=winsize, th=th, a=a, m0=m0, h_true=h, w=w,
                 interpret=interpret, iters=in_k, packed=packed,
-                dyn=dyn, mxu=mxu, rg=rg, r1_start=r1_start))
+                dyn=dyn, mxu=mxu, rg=rg, eo=eo, r1_start=r1_start))
         flow_cf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
     return flow_cf
 
@@ -780,7 +901,7 @@ def umuf_iterate(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                  iters: int, max_displacement: int, winsize: int,
                  interpret: bool = False, packed: bool = False,
                  xwin: bool = False, dyn: bool = False,
-                 mxu: bool = False, rg: int = 0,
+                 mxu: bool = False, rg: int = 0, eo: int = 0,
                  fused: bool = True) -> jnp.ndarray:
     """``iters`` chained fused Farneback iterations, channels-last API.
 
@@ -798,7 +919,7 @@ def umuf_iterate(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     fcf = jnp.moveaxis(flow, -1, -3).reshape((-1, 2, h, w))
     fcf = _lane_pad_flow_cf(fcf, w)
     fcf = _umuf_pallas_cf(r0cf, r1cf, fcf, max_displacement, winsize, iters,
-                          interpret, packed, xwin, dyn, mxu, rg, fused)
+                          interpret, packed, xwin, dyn, mxu, rg, eo, fused)
     f = fcf[:, :, :, :w].reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)
 
@@ -807,7 +928,8 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
                 max_displacement: int, winsize: int,
                 interpret: bool = False, packed: bool = False,
                 xwin: bool = False, dyn: bool = False, mxu: bool = False,
-                rg: int = 0, _phases: str = "both") -> jnp.ndarray:
+                rg: int = 0, eo: int = 0,
+                _phases: str = "both") -> jnp.ndarray:
     """ONE fused Farneback iteration, channels-last API.
 
     r0, r1: (..., H, W, 5) polynomial expansions; flow: (..., H, W, 2).
@@ -823,7 +945,7 @@ def umuf_pallas(r0: jnp.ndarray, r1: jnp.ndarray, flow: jnp.ndarray,
     fcf = jnp.moveaxis(flow, -1, -3).reshape((-1, 2, h, w))
     fcf = _lane_pad_flow_cf(fcf, w)
     fcf = _umuf_pallas_cf(r0cf, r1cf, fcf, max_displacement, winsize, 1,
-                          interpret, packed, xwin, dyn, mxu, rg,
+                          interpret, packed, xwin, dyn, mxu, rg, eo,
                           _phases=_phases)
     f = fcf[:, :, :, :w].reshape(lead + (2, h, w))
     return jnp.moveaxis(f, -3, -1)

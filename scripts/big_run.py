@@ -91,12 +91,27 @@ def main():
         float(v.reshape(-1)[0])
         print(f"H2D in {time.perf_counter()-t0:.1f}s", flush=True)
 
+    on_pass = None
+    if os.environ.get("BIG_PASS_TIMES", "0") == "1":
+        marks = []
+
+        def on_pass(i, out):
+            out.block_until_ready()
+            marks.append((i, time.perf_counter()))
+
     for rep in range(max(1, reps)):
+        if on_pass is not None:
+            marks.clear()
         t0 = time.perf_counter()
-        out = denoise(v, cfg)
+        out = denoise(v, cfg, on_pass=on_pass)
         s = float(out.reshape(-1)[0])
         dt = time.perf_counter() - t0
         rate = vol.size / dt / 1e6
+        if on_pass is not None:
+            prev = t0
+            for i, tm in marks:
+                print(f"  pass {i}: {tm - prev:.1f}s", flush=True)
+                prev = tm
         print(f"rep {rep}: {dt:.1f}s = {rate:.2f} Mvoxel/s  (probe {s:.3f})",
               flush=True)
     print("OK", flush=True)

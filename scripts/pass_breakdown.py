@@ -22,7 +22,11 @@ import numpy as np
 
 def sync(x):
     import jax
-    float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    # index the first element without reshape(-1): a reshape of a
+    # channels-last (B,H,W,5) array forces a fully padded T(8,128) copy
+    # (25x memory) and OOMs at 1024-wide shapes
+    float(leaf[(0,) * leaf.ndim])
 
 
 def timed(fn, *args, reps=8, outer=2):

@@ -57,9 +57,9 @@ def test_row_tiling_exact(monkeypatch):
     fits_calls = []
     orig = U.umuf_fits_vmem
 
-    def tiny_fits(th, w, d, winsize, iters=1):
+    def tiny_fits(th, w, d, winsize, iters=1, eo=False):
         fits_calls.append(th)
-        return th <= 16 and orig(th, w, d, winsize, iters)
+        return th <= 16 and orig(th, w, d, winsize, iters, eo)
 
     monkeypatch.setattr(U, "umuf_fits_vmem", tiny_fits)
     U._umuf_pallas_cf.clear_cache()
@@ -174,9 +174,13 @@ def test_xwin_large_flow_clamp():
                                 dict(dyn=True, mxu=True),
                                 dict(dyn=True, rg=8),
                                 dict(dyn=True, mxu=True, rg=8),
-                                dict(dyn=True, mxu=True, rg=16)])
+                                dict(dyn=True, mxu=True, rg=16),
+                                dict(dyn=True, eo=True),
+                                dict(dyn=True, rg=8, eo=True),
+                                dict(dyn=True, mxu=True, rg=16, eo=True)])
 def test_dyn_mxu_match_base(kw):
     # dyn must be bitwise-identical (same gathers, dynamic trip count);
+    # eo gathers the same values from deinterleaved planes (also bitwise);
     # mxu reassociates the box sums on the MXU (float-rounding level).
     R0, R1, flow = _setup(b=2, h=24, w=40, seed=11, flow_scale=3.0)
     base = np.asarray(U.umuf_pallas(R0, R1, flow, 4, 5, interpret=True))
@@ -192,8 +196,8 @@ def test_dyn_mxu_row_tiling_exact(monkeypatch):
                                     dyn=True, mxu=True))
     orig = U.umuf_fits_vmem
     monkeypatch.setattr(U, "umuf_fits_vmem",
-                        lambda th, w, d, ws, it=1: th <= 16
-                        and orig(th, w, d, ws, it))
+                        lambda th, w, d, ws, it=1, eo=False: th <= 16
+                        and orig(th, w, d, ws, it, eo))
     U._umuf_pallas_cf.clear_cache()
     tiled = np.asarray(U.umuf_pallas(R0, R1, flow, 3, 5, interpret=True,
                                      dyn=True, mxu=True))
@@ -213,7 +217,8 @@ def _stack_setup(B=10, h=20, w=36, seed=21, flow_scale=2.0):
 
 
 @pytest.mark.parametrize("kw", [dict(), dict(dyn=True, mxu=True),
-                                dict(dyn=True, mxu=True, rg=8)])
+                                dict(dyn=True, mxu=True, rg=8),
+                                dict(dyn=True, mxu=True, rg=8, eo=True)])
 @pytest.mark.parametrize("start,w", [(0, 36), (3, 36), (3, 128)])
 def test_prepped_window_matches_umuf_iterate(kw, start, w):
     # umuf_iterate_prepped windowing into the FULL stack operand at a traced
@@ -231,7 +236,7 @@ def test_prepped_window_matches_umuf_iterate(kw, start, w):
 
     r0_tiles, r1_tiles, tiles = U.prep_tiles_cf(
         Rcf, d, w, winsize, iters, dyn=kw.get("dyn", False),
-        interior=(2, n))
+        eo=kw.get("eo", False), interior=(2, n))
     fcf = U._lane_pad_flow_cf(jnp.moveaxis(flow, -1, 1), w)
     out = U.umuf_iterate_prepped(
         r0_tiles, r1_tiles, tiles, fcf, iters, d, winsize,
@@ -255,8 +260,8 @@ def test_prepped_window_row_tiled(monkeypatch):
 
     orig = U.umuf_fits_vmem
     monkeypatch.setattr(U, "umuf_fits_vmem",
-                        lambda th, w, dd, ws, it=1: th <= 16
-                        and orig(th, w, dd, ws, it))
+                        lambda th, w, dd, ws, it=1, eo=False: th <= 16
+                        and orig(th, w, dd, ws, it, eo))
     r0_tiles, r1_tiles, tiles = U.prep_tiles_cf(
         Rcf, d, 40, winsize, iters, dyn=True, interior=(1, n))
     assert len(tiles) > 1
