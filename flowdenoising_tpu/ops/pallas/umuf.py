@@ -272,7 +272,11 @@ def _phase1_phase2(*, r0_ref, r1p_ref, u_ref, v_ref, out_ref, m_ref, acc_ref,
             def _gather_term_eo(rows_of_c, wy, tug, ie, io, parity):
                 # deinterleaved sampling: one gather per bilinear neighbor
                 # (rows_of_c returns the block's rolled E and O windows);
-                # parity routes (g0, g1) = even l ? (E, O) : (O, E)
+                # parity routes (g0, g1) = even l ? (E, O) : (O, E).
+                # (Swapping the WEIGHTS by parity once per trip instead of
+                # the gathered values per channel measured 0% on hardware
+                # and loses bitwise identity to the base path through fma
+                # contraction order -- keep the value selects.)
                 w1 = wy * tug
                 w0 = wy - w1
                 terms = []
