@@ -129,17 +129,21 @@ def bench_cpu_reference(z, h, w, sigma, levels, winsize):
 
 
 def sampling_issue_model_s(voxels, ks2, iters, trips=10.6,
-                           per_trip_voxel_ns=0.100):
+                           per_trip_voxel_ns=0.069):
     """CALIBRATED floor of the fused Farneback iteration's sampling loop.
 
     Round-2 hardware decomposition (scripts/prepped_probe.py with real-
     statistics flows, scripts/trip_stats.py on real seeded tap flows of
     this bench volume):
 
-    - The kernel's cost is the dynamic y-shift trip loop: per (trip,
-      iteration) the issue cost is ~0.100 ns/voxel (measured 0.84 ms per
-      trip on a 128x256^2 tile at d=9; splits ~47% lane gathers, ~37%
-      rolls/selects/weights/fma, ~16% overlapped operand DMA).
+    - The kernel's cost is the dynamic y-shift trip loop.  Pre-eo the
+      issue cost was ~0.100 ns/voxel/trip (measured 0.84 ms per trip on
+      a 128x256^2 tile at d=9; ~47% lane gathers, ~37% rolls/selects/
+      weights/fma, ~16% overlapped operand DMA).  The default eo
+      (even/odd-deinterleaved) sampling halves the gathers and drops the
+      window selects; its per-trip cost is derived from the measured
+      bitwise A/B (full 256^3 solve 4.82 -> 3.36 s at ~97% kernel share):
+      0.100 x 0.69 ~= 0.069 ns/voxel/trip.
     - Trips are DATA-bound: per-pixel flow noise (std ~1.4 px on this
       noisy volume) keeps any (rows x 128-lane) block's y-range wide.
       Measured per-block average: 12.2 trips whole-plane, 10.6 with the
@@ -147,7 +151,8 @@ def sampling_issue_model_s(voxels, ks2, iters, trips=10.6,
 
     Floor = voxels x 3 passes x taps x pyramid-factor x iters x trips x
     per-trip cost.  Operand DMA is overlapped (the no-compute pipeline
-    floor is ~16% of kernel time) and excluded.
+    floor was ~16% of kernel time pre-eo, ~2.2x that share with eo's
+    phase-copy operands -- still hidden) and excluded.
     """
     taps = 2 * ks2
     pyr = 4.0 / 3.0
@@ -166,9 +171,12 @@ def hbm_model_bytes_per_voxel(ks2, iters, tap_mode, precision):
     pyr = 4.0 / 3.0
     # polynomial expansion: read image (1) + write 5ch expansion, per level
     polyexp = (1 + 5) * pyr
-    # fused UM+UF iteration: read r0(5) + r1 sampled(5) + flow(2) -> write
-    # flow(2); per tap-solve, per iteration, per level.
-    it_read = 5 + 5 + 2
+    # fused UM+UF iteration: read r0(5) + r1 sampled + flow(2) -> write
+    # flow(2); per tap-solve, per iteration, per level.  The default f32
+    # eo sampling reads the deinterleaved phase-copy reference form
+    # (~2.2x the 5 interleaved channels); bf16 packed keeps the 1x form.
+    r1_ch = 5 * 2.2 if precision != "bfloat16" else 5
+    it_read = 5 + r1_ch + 2
     it = (it_read + 2) * iters * pyr
     warp = (1 + 2 + 1)  # read neighbor + flow, write warped/acc
     if tap_mode == "solve":
