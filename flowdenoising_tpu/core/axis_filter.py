@@ -52,8 +52,15 @@ def pad_stack(vol: jnp.ndarray, pad: int, boundary: Boundary,
     """
     if pad == 0:
         return vol
+    n = vol.shape[0]
     if boundary is Boundary.WRAP:
-        return jnp.concatenate([vol[-pad:], vol, vol[:pad]], axis=0)
+        if pad <= n:
+            return jnp.concatenate([vol[-pad:], vol, vol[:pad]], axis=0)
+        # Kernel support exceeds the axis (e.g. Z=4 at sigma=2 -> pad=8):
+        # slicing would silently under-pad; materialize the reference's
+        # modular indexing (flowdenoising.py:137) with a static gather.
+        idx = np.arange(-pad, n + pad) % n
+        return jnp.take(vol, jnp.asarray(idx), axis=0)
     if boundary is Boundary.REPLICATE:
         return jnp.pad(vol, ((pad, pad), (0, 0), (0, 0)), mode="edge")
     if boundary is Boundary.MEAN:

@@ -177,3 +177,26 @@ def test_donated_slab_solve_pipeline_large_ci():
     b = np.asarray(denoise(vol, dataclasses.replace(cfg, slab_size=7)))
     np.testing.assert_allclose(a, b, atol=1e-5)
     assert np.isfinite(a).all()
+
+
+def test_tiny_axis_wrap_kernel_longer_than_axis():
+    # Z=4 slices at sigma=2 (17 taps, ks2=8 > Z): the reference's modular
+    # indexing (flowdenoising.py:137) wraps multiple times around the axis;
+    # pad_stack must materialize the same context rather than silently
+    # under-padding (vol[-8:] of a 4-slice stack is only 4 slices).
+    vol = make_blob_volume(4, 36, 40, seed=3)
+    k = get_gaussian_kernel(2.0)
+    ours = np.asarray(gaussian_pass(jnp.asarray(vol), k, Boundary.WRAP))
+    ref = R.gaussian_filter_axis_wrap(vol, k, 0)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_tiny_axis_of_wrap_kernel_longer_than_axis():
+    vol = make_blob_volume(4, 36, 40, seed=4)
+    k = get_gaussian_kernel(2.0)
+    cfg = FlowConfig(levels=0, winsize=W, use_initial_flow=True)
+    ours = np.asarray(of_pass(jnp.asarray(vol), k, cfg, Boundary.WRAP))
+    ref = R.of_filter_axis_wrap(vol, k, 0, 0, W, seeded=True)
+    err = np.abs(ours - ref)
+    assert err.max() < TOL_MAX, err.max()
+    assert err.mean() < TOL_MEAN, err.mean()
