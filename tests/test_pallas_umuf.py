@@ -121,8 +121,8 @@ def test_umuf_iterate_row_tiled(monkeypatch, fused):
                                      fused=fused))
     orig = U.umuf_fits_vmem
     monkeypatch.setattr(U, "umuf_fits_vmem",
-                        lambda th, w, d, ws, it=1: th <= 16
-                        and orig(th, w, d, ws, it))
+                        lambda th, w, d, ws, it=1, eo=0: th <= 16
+                        and orig(th, w, d, ws, it, eo))
     U._umuf_pallas_cf.clear_cache()
     tiled = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True,
                                       fused=fused))
@@ -139,8 +139,8 @@ def test_umuf_fused_iters_tile_invariant_vs_unfused(monkeypatch, kw):
                                     fused=False))
     orig = U.umuf_fits_vmem
     monkeypatch.setattr(U, "umuf_fits_vmem",
-                        lambda th, w, d, ws, it=1: th <= 16
-                        and orig(th, w, d, ws, it))
+                        lambda th, w, d, ws, it=1, eo=0: th <= 16
+                        and orig(th, w, d, ws, it, eo))
     U._umuf_pallas_cf.clear_cache()
     out = np.asarray(U.umuf_iterate(R0, R1, flow, 3, 3, 5, interpret=True,
                                     fused=True, **kw))
