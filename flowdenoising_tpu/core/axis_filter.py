@@ -261,6 +261,50 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
             from flowdenoising_tpu.ops.pallas.sample import pallas_supported
             fused_step = pallas_supported()
 
+        if fused_step and os.environ.get("FDTPU_COMPOSE_PREPPED",
+                                         "1") != "0":
+            # Prepped tap scan: ALL tap-invariant operand prep (edge pads +
+            # eo deinterleave / bf16 packing of the adjacent-flow and
+            # neighbor stacks, row tiling, carry lane padding) happens once
+            # per pass; each tap's kernel windows into the prepared full
+            # stacks at a traced batch offset.  Bitwise-identical to the
+            # per-tap fused scan below (tests/test_pallas_compose.py).
+            from flowdenoising_tpu.ops.pallas import compose as PC
+            eo = (not packed
+                  and os.environ.get("FDTPU_COMPOSE_EO", "1") != "0")
+            kw = dict(packed=packed, eo=eo,
+                      dyn=os.environ.get("FDTPU_COMPOSE_DYN", "0") == "1")
+            tiles = PC.compose_plan(h, w, d, eo)
+            nb_tiles = PC.prep_compose_src(padded[:, None], d, w,
+                                           tiles=tiles, **kw)
+
+            def run_prepped(offsets, weights, carry, adj, adj_shift):
+                link_tiles = PC.prep_compose_src(
+                    jnp.moveaxis(adj, -1, -3), d, w, tiles=tiles, **kw)
+                xs = (jnp.asarray([ks2 + o for o in offsets], jnp.int32),
+                      jnp.asarray(weights, dtype))
+
+                def body(c, xs_t):
+                    start, wgt = xs_t
+                    c2 = PC.compose_tap_prepped(
+                        link_tiles, nb_tiles, c, tiles, wgt,
+                        start + adj_shift, start, d=d, w=w, dtype=dtype,
+                        **kw)
+                    return c2, None
+
+                carry, _ = jax.lax.scan(body, carry, xs)
+                return carry
+
+            carry = PC.init_compose_carry(vol, taps[ks2], tiles, w, dtype)
+            carry = run_prepped([-j for j in range(1, ks2 + 1)],
+                                [taps[ks2 - j] for j in range(1, ks2 + 1)],
+                                carry, adj_bwd, 0)
+            carry = PC.reset_compose_flow(carry)
+            carry = run_prepped([+j for j in range(1, ks2 + 1)],
+                                [taps[ks2 + j] for j in range(1, ks2 + 1)],
+                                carry, adj_fwd, -1)
+            return PC.finish_compose_carry(carry, w)
+
         def body_of(adj, adj_shift):
             def body(carry, xs):
                 flow, acc = carry
