@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Disable the use of adjacent optical flow fields")
     p.add_argument("--show_fingerprint", action="store_true",
                    help="Show a hash of this file")
+    # GPU-variant flags (flowdenoising_GPU.py:597-598), accepted so existing
+    # scripts keep working: all compute runs on the TPU device(s) regardless.
+    p.add_argument("--use_GPU", action="store_true",
+                   help="Accepted for reference compatibility; all compute "
+                        "runs on the TPU device(s)")
+    p.add_argument("--use_threads", action="store_true",
+                   help="Accepted for reference compatibility; scheduling is "
+                        "device-driven on TPU")
     # TPU-native extensions
     p.add_argument("--boundary", choices=[b.value for b in Boundary], default=Boundary.WRAP.value,
                    help="Boundary mode along the filtered axis (reference main CLI: wrap; "
@@ -203,6 +211,12 @@ def main(argv=None) -> int:
         logging.info("No reusing adjacent OF fields as predictions")
     else:
         logging.info("Using adjacent OF fields as predictions")
+    if args.number_of_processes is not None:
+        logging.info(f"-p {args.number_of_processes} accepted for reference "
+                     "compatibility; scheduling is device-driven on TPU")
+    if args.use_GPU or args.use_threads:
+        logging.info("--use_GPU/--use_threads accepted for reference "
+                     "compatibility; all compute runs on the TPU device(s)")
 
     if args.coordinator:
         return _main_distributed(args, cfg, prof)

@@ -20,6 +20,23 @@ def test_parser_reference_flags():
     assert args.no_OF and args.memory_map and args.recompute_flow
 
 
+def test_parser_gpu_variant_flags(tmp_path):
+    # The GPU variant's extra flags (flowdenoising_GPU.py:597-598) are
+    # accepted (and ignored: everything runs on-device) so its invocations
+    # work unchanged.
+    p = build_parser()
+    args = p.parse_args(["--use_GPU", "--use_threads", "-p", "4"])
+    assert args.use_GPU and args.use_threads
+    vol = make_blob_volume(4, 16, 16, seed=14)
+    src, dst = tmp_path / "in.mrc", tmp_path / "out.mrc"
+    write_mrc(src, vol)
+    rc = main(["-i", str(src), "-o", str(dst), "-n", "-s", "0.5",
+               "--use_GPU", "--use_threads", "-p", "4"])
+    assert rc == 0
+    out, _ = read_mrc(dst)
+    assert out.shape == vol.shape
+
+
 def test_cli_no_of_mrc_roundtrip(tmp_path):
     vol = make_blob_volume(8, 16, 16, seed=11)
     src = tmp_path / "in.mrc"
