@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "adjacent pairs only and chain flow fields (~8x fewer "
                         "solves); 'compose_refine' adds one full-res Farneback "
                         "iteration per tap")
+    p.add_argument("--max_displacement", type=int, default=8,
+                   help="Per-tap flow sampling bound in pixels (default 8). "
+                        "Motions beyond it are clamped during sampling "
+                        "(QUALITY.md, membranes tier); raise it for data "
+                        "with large inter-slice drift, or pass 0 for the "
+                        "unbounded exact-gather path (slow: XLA gathers "
+                        "instead of the Pallas windowed kernels)")
     p.add_argument("--symmetric_adjacent", action="store_true",
                    help="Compose modes: approximate backward chain links as "
                         "negated forward fields (halves the adjacent solves; "
@@ -204,6 +211,8 @@ def main(argv=None) -> int:
             precision=args.precision,
             tap_mode=args.tap_flow,
             symmetric_adjacent=args.symmetric_adjacent,
+            max_displacement=(args.max_displacement
+                              if args.max_displacement > 0 else None),
         ),
         slab_size=args.slab_size,
     )

@@ -78,6 +78,25 @@ def test_cli_fast_modes(tmp_path):
     assert np.isfinite(out).all()
 
 
+def test_cli_max_displacement(tmp_path):
+    # --max_displacement reaches FlowConfig; 0 selects the unbounded
+    # exact-gather sampling path (max_displacement=None).
+    p = build_parser()
+    assert p.parse_args([]).max_displacement == 8
+    vol = make_blob_volume(6, 32, 32, seed=15)
+    src, dst0, dst1 = (tmp_path / n for n in ("in.tif", "o0.tif", "o1.tif"))
+    write_tiff(src, vol.astype(np.float32))
+    for dst, d in ((dst0, "12"), (dst1, "0")):
+        rc = main(["-i", str(src), "-o", str(dst), "-s", "0.5", "-l", "0",
+                   "--max_displacement", d])
+        assert rc == 0
+        out = read_tiff(dst)
+        assert out.shape == vol.shape and np.isfinite(out).all()
+    # both bounds cover this volume's sub-pixel drift: same output
+    np.testing.assert_allclose(read_tiff(dst0), read_tiff(dst1),
+                               rtol=0, atol=2e-2)
+
+
 def test_cli_fingerprint(capsys, tmp_path):
     vol = make_blob_volume(4, 16, 16, seed=13)
     src = tmp_path / "in.mrc"
