@@ -90,13 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "adjacent pairs only and chain flow fields (~8x fewer "
                         "solves); 'compose_refine' adds one full-res Farneback "
                         "iteration per tap")
-    p.add_argument("--max_displacement", type=int, default=8,
+    p.add_argument("--max_displacement", type=int_or_str, default=8,
                    help="Per-tap flow sampling bound in pixels (default 8). "
                         "Motions beyond it are clamped during sampling "
                         "(QUALITY.md, membranes tier); raise it for data "
-                        "with large inter-slice drift, or pass 0 for the "
-                        "unbounded exact-gather path (slow: XLA gathers "
-                        "instead of the Pallas windowed kernels)")
+                        "with large inter-slice drift, pass 'auto' to probe "
+                        "the volume's motion scale and pick the bound "
+                        "(core/autodisp.py), or pass 0 for the unbounded "
+                        "exact-gather path (slow: XLA gathers instead of "
+                        "the Pallas windowed kernels)")
     p.add_argument("--symmetric_adjacent", action="store_true",
                    help="Compose modes: approximate backward chain links as "
                         "negated forward fields (halves the adjacent solves; "
@@ -199,6 +201,15 @@ def main(argv=None) -> int:
         sigma = sigma * 3
     logging.info(f"sigma={sigma}")
 
+    auto_disp = args.max_displacement == "auto"
+    if isinstance(args.max_displacement, str) and not auto_disp:
+        raise SystemExit(f"--max_displacement must be an integer or 'auto', "
+                         f"got {args.max_displacement!r}")
+    if auto_disp and args.coordinator:
+        raise SystemExit("--max_displacement auto needs the input volume on "
+                         "one host to probe; pass an explicit bound with "
+                         "--coordinator runs")
+
     cfg = FilterConfig(
         sigma=sigma,
         boundary=Boundary(args.boundary),
@@ -211,7 +222,8 @@ def main(argv=None) -> int:
             precision=args.precision,
             tap_mode=args.tap_flow,
             symmetric_adjacent=args.symmetric_adjacent,
-            max_displacement=(args.max_displacement
+            max_displacement=(8 if auto_disp else
+                              args.max_displacement
                               if args.max_displacement > 0 else None),
         ),
         slab_size=args.slab_size,
@@ -243,6 +255,11 @@ def main(argv=None) -> int:
             vol = read_volume(args.input, memory_map=args.memory_map,
                               as_f32=True)
     log_volume_stats(str(args.input), vol)
+
+    if auto_disp and cfg.use_flow:
+        from flowdenoising_tpu.core.autodisp import resolve_auto_displacement
+        with prof.phase("probe"):
+            cfg = resolve_auto_displacement(vol, cfg)
 
     kernels = get_gaussian_kernels(sigma)
     logging.info(f"length of each filter (Z, Y, X) = {[len(k) for k in kernels]}")

@@ -64,13 +64,16 @@ def usable_device_count(shape: tuple[int, int, int], max_halo: int,
 def _pass_extent(n: int, ks2: int, n_dev: int) -> int:
     """Sharded extent for a pass over ``n`` output slices.
 
-    Divisible axes shard directly.  Otherwise the pass runs on a
+    Divisible axes shard directly -- but only when the per-device shard
+    covers the ring halo (``halo_exchange`` fetches ghost slices from the
+    IMMEDIATE ring neighbors, so a shard of fewer than ks2 slices would
+    silently truncate the halo window).  Otherwise the pass runs on a
     boundary-extended stack: ks2 true context slices materialized per side
     (so valid outputs never read across the ring's global wrap seam, whose
     content would be wrong for non-divisible extents), aligned up to a
     multiple of the device count; the extra outputs are cropped.
     """
-    if n % n_dev == 0:
+    if n % n_dev == 0 and n // n_dev >= ks2:
         return n
     return n_dev * (-(-(n + 2 * ks2) // n_dev))
 

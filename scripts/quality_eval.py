@@ -110,6 +110,7 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
     # (shapes are identical) -- without this, each (config, noise) pair
     # recompiles and the evaluation is compile-bound.
     jits = {}
+    auto_jits = {}
     for name, over in configs:
         cfg = FilterConfig(sigma=sig, boundary=Boundary.WRAP,
                            flow=FlowConfig(levels=L, winsize=W, **over))
@@ -138,9 +139,24 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
                          f"{psnr(clean, ref_out):.2f} dB | "
                          f"{ssim(clean, ref_out):.4f} | -- |")
 
+        # Auto displacement bound: resolved per noisy volume (the probe
+        # measures the clamp cost on the actual data, core/autodisp.py);
+        # jitted executables cached by the resolved bounds.
+        from flowdenoising_tpu.core.autodisp import resolve_auto_displacement
+        base_auto = FilterConfig(sigma=sig, boundary=Boundary.WRAP,
+                                 flow=FlowConfig(levels=L, winsize=W))
+        t0 = time.perf_counter()
+        rcfg = resolve_auto_displacement(noisy, base_auto)
+        t_probe = time.perf_counter() - t0
+        key = (rcfg.flow.max_displacement, rcfg.flow.adjacent_displacement)
+        auto_name = f"tpu f32 solve auto (picked D={key[0]}, probe {t_probe:.2f}s)"
+        if key not in auto_jits:
+            auto_jits[key] = jax.jit(lambda x, c=rcfg: denoise(x, c))
+        run_list = configs + [(auto_name, None)]
+
         v = jax.device_put(jnp.asarray(noisy))
-        for name, over in configs:
-            jfn = jits[name]
+        for name, over in run_list:
+            jfn = auto_jits[key] if over is None else jits[name]
             out = jfn(v)
             _ = float(out[0, 0, 0])
             t0 = time.perf_counter()

@@ -1,0 +1,82 @@
+"""Auto max_displacement probing (core/autodisp.py).
+
+The probe must pick a small bound on calm data (speed) and a large enough
+bound on fast-drifting data (quality: QUALITY.md membranes tier showed the
+fixed D=8 default clamping real motions the cv2 reference follows,
+/root/reference/src/flowdenoising.py:69-79).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import make_blob_image, make_blob_volume
+from flowdenoising_tpu.config import FilterConfig
+from flowdenoising_tpu.core.autodisp import (
+    probe_displacement, resolve_auto_displacement)
+
+
+def make_shift_volume(n, h, w, px_per_slice, seed=3):
+    """Slices translate uniformly by px_per_slice along x per step."""
+    pad = int(np.ceil(px_per_slice * n)) + 4
+    base = make_blob_image(h, w + 2 * pad, n_blobs=30, seed=seed, pad=8)
+    vol = np.zeros((n, h, w), np.float32)
+    for z in range(n):
+        off = int(round(z * px_per_slice))
+        vol[z] = base[:h, off:off + w]
+    return vol
+
+
+def test_calm_volume_picks_small_bound():
+    vol = make_blob_volume(24, 96, 96, seed=1, drift=0.3)
+    cfg = FilterConfig(sigma=(2.0, 2.0, 2.0))
+    max_d, adj_d = probe_displacement(vol, cfg)
+    assert max_d <= 8
+    assert adj_d <= 4
+    assert adj_d <= max_d
+
+
+def test_fast_drift_raises_bound():
+    # 2 px/slice along x: at tap distance ks2=8 the displacement is ~16 px,
+    # beyond the default D=8 clamp.
+    vol = make_shift_volume(24, 96, 96, px_per_slice=2.0)
+    cfg = FilterConfig(sigma=(2.0, 2.0, 2.0))
+    max_d, adj_d = probe_displacement(vol, cfg)
+    assert max_d >= 12
+    assert adj_d <= 6  # adjacent motion is still only ~2 px
+
+
+def test_resolve_fills_config():
+    vol = make_blob_volume(16, 64, 64, seed=2)
+    cfg = FilterConfig(sigma=(1.5, 1.5, 1.5))
+    out = resolve_auto_displacement(vol, cfg)
+    assert isinstance(out.flow.max_displacement, int)
+    assert isinstance(out.flow.adjacent_displacement, int)
+    assert out.flow.adjacent_displacement <= out.flow.max_displacement
+    # everything else unchanged
+    assert out.sigma == cfg.sigma
+    assert out.flow.levels == cfg.flow.levels
+
+
+def test_cli_accepts_auto_and_rejects_garbage(tmp_path):
+    from flowdenoising_tpu.cli import build_parser, main
+
+    args = build_parser().parse_args(["--max_displacement", "auto"])
+    assert args.max_displacement == "auto"
+
+    with pytest.raises(SystemExit):
+        main(["-i", str(tmp_path / "x.mrc"), "-o", str(tmp_path / "y.mrc"),
+              "--max_displacement", "bogus"])
+
+
+def test_cli_auto_end_to_end(tmp_path):
+    from flowdenoising_tpu.cli import main
+    from flowdenoising_tpu.io.volume import read_volume, write_volume
+
+    vol = make_blob_volume(10, 48, 48, seed=4)
+    src, dst = tmp_path / "in.mrc", tmp_path / "out.mrc"
+    write_volume(str(src), vol)
+    assert main(["-i", str(src), "-o", str(dst), "-s", "1.0", "1.0", "1.0",
+                 "--max_displacement", "auto"]) == 0
+    out = read_volume(str(dst))
+    assert out.shape == vol.shape
+    assert np.all(np.isfinite(out))

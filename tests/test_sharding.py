@@ -28,6 +28,22 @@ def test_usable_device_count():
     assert usable_device_count((3, 16, 16), 3, 8) == 4
 
 
+@pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN])
+def test_sharded_divisible_axis_smaller_than_halo(boundary):
+    # Regression: 10 slices over the usable 5 devices divide evenly into
+    # 2-slice shards, but the halo is ks2=4 -- the divisible fast path used
+    # to truncate the ring halo window silently (negative interior).
+    # _pass_extent must route this through the boundary-extended path.
+    vol = make_blob_volume(10, 24, 16, seed=11)
+    cfg = FilterConfig(sigma=(1.0, 0.5, 0.5), boundary=boundary,
+                       flow=FlowConfig(levels=0, winsize=5))
+    assert usable_device_count(vol.shape, 4, 8) == 5
+    single = np.asarray(denoise(vol, cfg))
+    sharded = np.asarray(denoise_sharded(vol, cfg, n_devices=8))
+    err = np.abs(sharded - single)
+    assert err.max() < 5e-3, err.max()
+
+
 @pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN, Boundary.REPLICATE])
 def test_sharded_gaussian_matches_single(boundary):
     vol = make_blob_volume(16, 24, 16, seed=7)
