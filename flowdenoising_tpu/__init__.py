@@ -26,6 +26,7 @@ from flowdenoising_tpu.config import FlowConfig, FilterConfig, Boundary
 from flowdenoising_tpu.ops.warp import warp_slices
 from flowdenoising_tpu.ops.farneback import farneback_flow
 from flowdenoising_tpu.core.pipeline import denoise, gaussian_denoise
+from flowdenoising_tpu.core.autodisp import resolve_auto_displacement
 
 __all__ = [
     "__version__",
@@ -37,4 +38,5 @@ __all__ = [
     "farneback_flow",
     "denoise",
     "gaussian_denoise",
+    "resolve_auto_displacement",
 ]
