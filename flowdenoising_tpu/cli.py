@@ -99,6 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(core/autodisp.py), or pass 0 for the unbounded "
                         "exact-gather path (slow: XLA gathers instead of "
                         "the Pallas windowed kernels)")
+    p.add_argument("--flow_presmooth", type=float, default=0.0,
+                   help="Estimate flows from a copy of the volume pre-"
+                        "smoothed in-plane with this Gaussian sigma (px); "
+                        "tap warps still sample the raw volume.  Suppresses "
+                        "per-pixel flow noise on noisy inputs (faster "
+                        "sampling AND usually better quality, QUALITY.md); "
+                        "0 keeps exact reference operand semantics")
     p.add_argument("--symmetric_adjacent", action="store_true",
                    help="Compose modes: approximate backward chain links as "
                         "negated forward fields (halves the adjacent solves; "
@@ -174,6 +181,21 @@ def main(argv=None) -> int:
         print("fingerprint =", file_fingerprint(__file__))
 
     setup_logging(args.verbosity if isinstance(args.verbosity, int) else 0)
+
+    # Flag validation that must fail fast BEFORE the distributed runtime
+    # comes up (a post-init abort would have every host connect first).
+    auto_disp = args.max_displacement == "auto"
+    if isinstance(args.max_displacement, str) and not auto_disp:
+        raise SystemExit(f"--max_displacement must be an integer or 'auto', "
+                         f"got {args.max_displacement!r}")
+    if auto_disp and args.coordinator:
+        raise SystemExit("--max_displacement auto needs the input volume on "
+                         "one host to probe; pass an explicit bound with "
+                         "--coordinator runs")
+    if auto_disp and args.no_OF:
+        logging.info("--max_displacement auto ignored: flow compensation is "
+                     "disabled (-n), no displacement probe runs")
+
     plat = os.environ.get("FDTPU_PLATFORM")
     if plat:
         # this image's TPU plugin registers itself with priority and
@@ -201,15 +223,6 @@ def main(argv=None) -> int:
         sigma = sigma * 3
     logging.info(f"sigma={sigma}")
 
-    auto_disp = args.max_displacement == "auto"
-    if isinstance(args.max_displacement, str) and not auto_disp:
-        raise SystemExit(f"--max_displacement must be an integer or 'auto', "
-                         f"got {args.max_displacement!r}")
-    if auto_disp and args.coordinator:
-        raise SystemExit("--max_displacement auto needs the input volume on "
-                         "one host to probe; pass an explicit bound with "
-                         "--coordinator runs")
-
     cfg = FilterConfig(
         sigma=sigma,
         boundary=Boundary(args.boundary),
@@ -222,6 +235,7 @@ def main(argv=None) -> int:
             precision=args.precision,
             tap_mode=args.tap_flow,
             symmetric_adjacent=args.symmetric_adjacent,
+            presmooth=args.flow_presmooth,
             max_displacement=(8 if auto_disp else
                               args.max_displacement
                               if args.max_displacement > 0 else None),
@@ -288,7 +302,17 @@ def main(argv=None) -> int:
     progress = ProgressReporter(total_units=int(sum(np.asarray(vol).shape)))
     progress.advance(sum(np.asarray(vol).shape[i] for i in range(start_pass)))
 
-    with prof.phase("filter"), progress:
+    verbosity = args.verbosity if isinstance(args.verbosity, int) else 0
+    # -v 2: trace the ACTUAL run for the measured per-stage report
+    # (successor of the reference's in-run OFE/warping/convolution
+    # accumulators, flowdenoising_GPU.py:760-766).
+    import contextlib
+    trace_ctx = contextlib.nullcontext({})
+    if verbosity >= 2:
+        from flowdenoising_tpu.utils.trace_report import traced_run
+        trace_ctx = traced_run()
+
+    with prof.phase("filter"), progress, trace_ctx as trace_state:
         def on_pass(i, v):
             progress.advance(np.asarray(vol).shape[i])
             if ckpt is not None:
@@ -337,12 +361,20 @@ def main(argv=None) -> int:
 
     prof.report()
 
-    verbosity = args.verbosity if isinstance(args.verbosity, int) else 0
     if verbosity >= 2:
         # Per-stage device-time split (successor of the reference's
-        # OFE/warping/convolution report, flowdenoising_GPU.py:760-766).
-        from flowdenoising_tpu.utils.stage_report import device_stage_report
-        device_stage_report(np.asarray(vol).shape, cfg, kernels)
+        # OFE/warping/convolution report, flowdenoising_GPU.py:760-766):
+        # MEASURED from the run's profiler trace when the backend allows,
+        # else the labeled microbench reconstruction.
+        measured = None
+        if trace_state.get("ok"):
+            from flowdenoising_tpu.utils.trace_report import (
+                measured_stage_report)
+            measured = measured_stage_report(trace_state["log_dir"])
+        if measured is None:
+            from flowdenoising_tpu.utils.stage_report import (
+                device_stage_report)
+            device_stage_report(np.asarray(vol).shape, cfg, kernels)
     return 0
 
 

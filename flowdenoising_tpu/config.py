@@ -91,6 +91,15 @@ class FlowConfig:
     # motion (error O(|a|^2 * flow gradient)); quality impact measured in
     # QUALITY.md.
     symmetric_adjacent: bool = False
+    # Estimate flows from a lightly Gaussian-pre-smoothed copy of the
+    # operands (sigma in pixels, in-plane); the tap WARPS still sample the
+    # raw volume.  On noisy inputs the per-pixel flow NOISE (std ~1.4 px on
+    # the bench volume) is what keeps every sampling block's y-shift range
+    # wide -- the noisy first pass costs ~7x per voxel what the already-
+    # denoised Y/X passes cost (BASELINE.md) -- and pre-smoothing the
+    # ESTIMATION operands collapses it.  0 disables (exact reference
+    # operand semantics); quality impact measured in QUALITY.md.
+    presmooth: float = 0.0
 
     def clamped_levels(self, height: int, width: int) -> int:
         """Number of pyramid levels actually used for an image size.

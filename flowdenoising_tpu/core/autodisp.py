@@ -52,6 +52,10 @@ _ADJ_LADDER = (2, 3, 4, 6, 8, 12, 16)
 # ~1e-3 above, coherent large drifts sit 2-10x above until D covers them).
 _TOL = 0.05
 _N_PAIRS = 4   # probed slice pairs per axis per distance
+# The probe's flow is "tracking" only when its warp error clearly beats the
+# identity warp; above this fraction the clamp-cost curve is uninformative
+# (see curves_at in probe_displacement).
+_UNTRACKED_FRAC = 0.9
 
 
 def _probe_pairs(vol: np.ndarray, distance: int, n_pairs: int):
@@ -101,7 +105,8 @@ def _clamp_cost_curve(tgt: np.ndarray, ref: np.ndarray, flow_cfg: FlowConfig,
     curve = [err(jnp.stack([jnp.clip(flow[..., 0], -d / su, d / su),
                             jnp.clip(flow[..., 1], -d / sv, d / sv)], axis=-1))
              for d in ladder]
-    return curve, err(flow)
+    ident = float(jnp.mean(jnp.abs(r - t)))
+    return curve, err(flow), ident
 
 
 def _pick_bound(costs_by_axis, base_by_axis, ladder, label) -> int:
@@ -129,10 +134,29 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
 
     kernels = get_gaussian_kernels(cfg.sigma)
     far_costs, far_base, adj_costs, adj_base = [], [], [], []
+    untrackable = []
     try:
         cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
+    except Exception:
+        # any backend-lookup failure (error type varies across JAX versions)
+        # just means the probe runs on the default device
         cpu = None
+
+    def curves_at(tgt, ref, ladder, label):
+        """Clamp-cost curve with probe-extent escalation: the downsampled
+        probe's pyramid is clamped to ~2 levels, so motion it cannot track
+        leaves the unbounded warp error ~at the identity-warp error -- a
+        small-D pick from such a curve would be unfounded.  Re-probe at 2x
+        extent once; if the flow still barely beats the identity warp, flag
+        the axis so the pick is floored at the fixed default."""
+        curve, base, ident = _clamp_cost_curve(tgt, ref, cfg.flow,
+                                               probe_extent, ladder)
+        if base > _UNTRACKED_FRAC * ident:
+            curve, base, ident = _clamp_cost_curve(tgt, ref, cfg.flow,
+                                                   2 * probe_extent, ladder)
+            if base > _UNTRACKED_FRAC * ident:
+                untrackable.append(label)
+        return curve, base
 
     def run():
         for axis in range(3):
@@ -142,14 +166,12 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
             v = np.moveaxis(np.asarray(vol), axis, 0) if axis else vol
             dist_far = min(ks2, vol.shape[axis] - 1)
             tgt, ref = _probe_pairs(v, dist_far, _N_PAIRS)
-            curve, base = _clamp_cost_curve(tgt, ref, cfg.flow, probe_extent,
-                                            _D_LADDER)
+            curve, base = curves_at(tgt, ref, _D_LADDER, f"axis{axis}/far")
             far_costs.append(curve)
             far_base.append(base)
             if dist_far > 1:
                 tgt, ref = _probe_pairs(v, 1, _N_PAIRS)
-            curve, base = _clamp_cost_curve(tgt, ref, cfg.flow, probe_extent,
-                                            _ADJ_LADDER)
+            curve, base = curves_at(tgt, ref, _ADJ_LADDER, f"axis{axis}/adj")
             adj_costs.append(curve)
             adj_base.append(base)
 
@@ -165,6 +187,19 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
     max_d = _pick_bound(far_costs, far_base, _D_LADDER, "max_displacement")
     adj_d = min(max_d, _pick_bound(adj_costs, adj_base, _ADJ_LADDER,
                                    "adjacent_displacement"))
+    if untrackable:
+        # Probe could not distinguish bounds on these axes; never pick a
+        # bound TIGHTER than the fixed defaults there.
+        floor_d = cfg.flow.max_displacement or 8
+        if max_d < floor_d:
+            logging.warning(
+                f"auto max_displacement: probe flow barely beats the "
+                f"identity warp on {untrackable} (motion the probe scale "
+                f"cannot track?); flooring pick {max_d} at the fixed "
+                f"default {floor_d}")
+            max_d = floor_d
+            adj_d = max(adj_d, min(max_d, cfg.flow.adjacent_displacement
+                                   or _ADJ_LADDER[2]))
     logging.info(f"auto max_displacement: probed clamp-cost curves -> "
                  f"max_displacement={max_d}, adjacent_displacement={adj_d}")
     return max_d, adj_d

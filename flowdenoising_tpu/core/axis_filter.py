@@ -96,6 +96,22 @@ def gaussian_pass(vol: jnp.ndarray, taps: np.ndarray, boundary: Boundary = Bound
     return gaussian_pass_padded(pad_stack(vol.astype(jnp.float32), ks2, boundary, mean_val), taps)
 
 
+def _estimation_stack(padded: jnp.ndarray, flow_cfg: FlowConfig) -> jnp.ndarray:
+    """The stack flows are ESTIMATED from: the raw padded stack, or a
+    lightly in-plane-blurred copy when ``flow_cfg.presmooth`` is set.
+
+    Pre-smoothing only the estimation operands (polyexp pyramids, iteration
+    sampling) suppresses per-pixel flow noise -- the driver of the sampling
+    kernels' trip counts on noisy inputs -- while every tap warp still
+    samples the raw volume, so no signal is blurred into the output.
+    """
+    if not flow_cfg.presmooth or flow_cfg.presmooth <= 0:
+        return padded
+    from flowdenoising_tpu.ops.blur import gaussian_blur
+    ks = max(3, int(round(flow_cfg.presmooth * 4.0)) | 1)
+    return gaussian_blur(padded, ks, flow_cfg.presmooth)
+
+
 def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) -> jnp.ndarray:
     """OF-compensated Gaussian pass along axis 0 of a pre-padded stack.
 
@@ -133,13 +149,14 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
     with matmul_precision(flow_cfg):
         acc0 = vol * jnp.asarray(taps[ks2], dtype)
 
+        est = _estimation_stack(padded, flow_cfg)
         if use_prepped:
             from flowdenoising_tpu.ops.farneback import prepped_tap_solver
-            solver = prepped_tap_solver(padded, ks2, n, flow_cfg)
+            solver = prepped_tap_solver(est, ks2, n, flow_cfg)
         else:
             # Pyramid + polynomial expansion of every (padded) slice,
             # computed once.
-            r_levels = polyexp_pyramid(padded, flow_cfg)
+            r_levels = polyexp_pyramid(est, flow_cfg)
             r0_levels = [r[ks2:ks2 + n] for r in r_levels]
 
         # Tap loop as lax.scan: the pyramid solver is traced/compiled once
@@ -239,7 +256,8 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
                                            flow_cfg.adjacent_displacement))
 
     with matmul_precision(flow_cfg):
-        r_levels = polyexp_pyramid(padded, flow_cfg)
+        r_levels = polyexp_pyramid(_estimation_stack(padded, flow_cfg),
+                                   flow_cfg)
         lo = [r[:-1] for r in r_levels]
         hi = [r[1:] for r in r_levels]
         # a[k]: flow target slice k -> reference k+1 (forward chain link);

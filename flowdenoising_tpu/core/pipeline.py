@@ -37,23 +37,23 @@ from flowdenoising_tpu.core.axis_filter import (
 from flowdenoising_tpu.kernels import get_gaussian_kernels
 
 
-def _slabbed_pass(padded_pass_fn, vol, taps, boundary, mean_val, slab_size):
-    """Run a pre-padded pass over axis-0 slabs with halo.
+def slabbed_padded_pass(padded_pass_fn, padded, taps, n, slab_size):
+    """Run a pass over axis-0 slabs of an ALREADY-padded stack.
 
-    Each slab's padded window carries exact boundary/halo context, so slab
-    results match the whole-axis pass exactly.  The slab loop is a lax.scan:
-    slabs are strictly sequential, so XLA keeps ONE slab's working set live
-    (a Python loop lets the scheduler overlap independent slabs and balloon
-    HBM at limit sizes) and compiles one slab body.
+    ``padded`` holds ``n + 2*ks2`` slices (boundary/halo context included),
+    so slab results match the whole-window pass exactly.  The slab loop is a
+    lax.scan: slabs are strictly sequential, so XLA keeps ONE slab's working
+    set live (a Python loop lets the scheduler overlap independent slabs and
+    balloon HBM at limit sizes) and compiles one slab body.  Shared by the
+    in-memory pipeline and the shard_map path (each shard's halo-exchanged
+    window is exactly such a padded stack).
     """
-    n = vol.shape[0]
     ks2 = len(taps) // 2
     if slab_size is None or slab_size >= n:
-        return padded_pass_fn(pad_stack(vol, ks2, boundary, mean_val), taps)
+        return padded_pass_fn(padded, taps)
 
     n_slabs = -(-n // slab_size)
     slab = -(-n // n_slabs)
-    padded = pad_stack(vol, ks2, boundary, mean_val)
     extra = n_slabs * slab - n
     if extra:
         tail = jnp.broadcast_to(padded[-1:], (extra,) + padded.shape[1:])
@@ -64,10 +64,18 @@ def _slabbed_pass(padded_pass_fn, vol, taps, boundary, mean_val, slab_size):
         y = padded_pass_fn(window, taps)
         return jax.lax.dynamic_update_slice_in_dim(out, y, s, axis=0), None
 
-    out0 = jnp.zeros((n_slabs * slab,) + vol.shape[1:], jnp.float32)
+    out0 = jnp.zeros((n_slabs * slab,) + padded.shape[1:], jnp.float32)
     starts = jnp.arange(n_slabs, dtype=jnp.int32) * slab
     out, _ = jax.lax.scan(body, out0, starts)
     return out[:n]
+
+
+def _slabbed_pass(padded_pass_fn, vol, taps, boundary, mean_val, slab_size):
+    """Boundary-pad ``vol`` and run the pass over axis-0 slabs with halo."""
+    ks2 = len(taps) // 2
+    padded = pad_stack(vol, ks2, boundary, mean_val)
+    return slabbed_padded_pass(padded_pass_fn, padded, taps, vol.shape[0],
+                               slab_size)
 
 
 def _axis_views():
@@ -98,6 +106,8 @@ _BYTES_PER_VOXEL_COMPOSE = _BYTES_PER_VOXEL + 4 * 4
 # headline volume in compose mode: a 16-slice slab runs, an 18-slice slab
 # exhausts HBM -- this budget keeps the model inside the validated zone.
 _AUTO_SLAB_BUDGET = int(2.6 * 1024 ** 3)
+# Smallest auto slab: below this the halo recompute fraction dominates.
+_SLAB_FLOOR = 8
 
 
 @functools.lru_cache(maxsize=512)
@@ -149,10 +159,26 @@ def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool,
     if (n + 2 * ks2) * per_slice <= _AUTO_SLAB_BUDGET:
         return None
     slab = int(_AUTO_SLAB_BUDGET / per_slice) - 2 * ks2
-    slab = max(8, slab)
+    slab = max(_SLAB_FLOOR, slab)
     # balance slab sizes without exceeding the model's bound
     n_slabs = -(-n // slab)
     return min(slab, -(-n // n_slabs))
+
+
+def pass_slab(cfg: FilterConfig, n: int, h: int, w: int,
+              ks2: int) -> int | None:
+    """Slab size for one pass under ``cfg`` (None = whole axis).
+
+    The single point of truth for HBM slab bounding: the in-memory,
+    streamed, and sharded pipelines all size their per-pass windows here so
+    the eo-sampling operand growth (the default f32 solve path holds a
+    ~2.4x reference operand) is modeled identically everywhere.
+    """
+    if cfg.slab_size is not None:
+        return cfg.slab_size
+    from flowdenoising_tpu.ops.farneback import _umuf_opts
+    solve_eo = bool(_umuf_opts()["eo"]) and cfg.flow.precision != "bfloat16"
+    return _auto_slab(n, h, w, ks2, cfg.use_flow, cfg.flow.tap_mode, solve_eo)
 
 
 def _owned_f32(vol) -> jnp.ndarray:
@@ -196,7 +222,7 @@ def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
 
 
 def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
-                 window: int = 2):
+                 window: int = 2, to_host: bool = False):
     """Throughput mode: denoise a stream of equally-shaped volumes.
 
     True double-buffered streaming (the reference has no analogue; this is
@@ -212,7 +238,15 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
     the working sets cannot exhaust HBM at large volume sizes; window=2 is
     classic double buffering.  ``vols`` may be any iterable (lazily
     consumed, so a generator reading volumes from disk streams end to end).
-    Returns a list of on-device results.
+    Returns a list of on-device results, or host arrays with
+    ``to_host=True``.
+
+    ``to_host`` is the SUSTAINED-service mode: each result is fetched to
+    host memory (overlapping the next volume's compute) and its device
+    buffer freed as soon as it leaves the in-flight window, so repeated
+    batch calls cannot accumulate multi-GB result buffers on the device --
+    the deferred-deallocation pile-up that made back-to-back batches decay
+    8.2 -> 17.5 -> 71 s/vol on the remote-PJRT transport (BASELINE.md).
     """
     import collections
     import concurrent.futures
@@ -248,9 +282,20 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
             if nxt is not None:
                 stage(nxt)
             if len(outs) > window:
-                outs[-window - 1].block_until_ready()
-        for o in outs:
-            o.block_until_ready()
+                i = len(outs) - window - 1
+                if to_host:
+                    # fetch + free the device buffer the moment the result
+                    # leaves the in-flight window (compute of the current
+                    # volume is already dispatched and overlaps the D2H)
+                    outs[i] = np.asarray(outs[i])
+                else:
+                    outs[i].block_until_ready()
+        for i, o in enumerate(outs):
+            if to_host:
+                if not isinstance(o, np.ndarray):
+                    outs[i] = np.asarray(o)
+            else:
+                o.block_until_ready()
     return outs
 
 
@@ -298,15 +343,9 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
             out = jnp.transpose(out, perm)
         layout = target
 
-        slab = cfg.slab_size
-        if slab is None:
-            from flowdenoising_tpu.ops.farneback import _umuf_opts
-            solve_eo = bool(_umuf_opts()["eo"]) and \
-                cfg.flow.precision != "bfloat16"
-            plane = [vol_shape[ax] for ax in target[1:]]
-            slab = _auto_slab(vol_shape[target[0]], plane[0], plane[1],
-                              len(taps) // 2, cfg.use_flow, cfg.flow.tap_mode,
-                              solve_eo)
+        plane = [vol_shape[ax] for ax in target[1:]]
+        slab = pass_slab(cfg, vol_shape[target[0]], plane[0], plane[1],
+                         len(taps) // 2)
 
         # jit per pass: keeps the CLI path compiled (eager dispatch through
         # remote PJRT transports is prohibitively slow) while still allowing

@@ -37,7 +37,7 @@ import numpy as np
 from flowdenoising_tpu.config import Boundary, FilterConfig
 from flowdenoising_tpu.core.axis_filter import (
     gaussian_pass_padded, of_pass_padded)
-from flowdenoising_tpu.core.pipeline import _auto_slab
+from flowdenoising_tpu.core.pipeline import pass_slab
 from flowdenoising_tpu.kernels import get_gaussian_kernels
 
 # pass i filters along canonical axis i; windows are gathered in the same
@@ -167,8 +167,10 @@ def denoise_streamed(src: np.ndarray, cfg: FilterConfig = FilterConfig(),
 
         slab = slab_size
         if slab is None:
-            slab = _auto_slab(n, plane[0], plane[1], ks2, cfg.use_flow,
-                              cfg.flow.tap_mode) or n
+            # shared model with the in-memory pipeline (incl. the eo solve
+            # operand growth -- the >host-RAM regime --stream exists for is
+            # exactly where an under-modeled slab would OOM)
+            slab = pass_slab(cfg, n, plane[0], plane[1], ks2) or n
         slab = min(slab, n)
         n_slabs = -(-n // slab)
         pass_fn = _cached_padded_pass(

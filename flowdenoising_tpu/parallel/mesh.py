@@ -31,7 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flowdenoising_tpu.config import Boundary, FilterConfig
 from flowdenoising_tpu.core.axis_filter import (
     gaussian_pass_padded, of_pass_padded, pad_stack)
-from flowdenoising_tpu.core.pipeline import _axis_views
+from flowdenoising_tpu.core.pipeline import (
+    _axis_views, pass_slab, slabbed_padded_pass)
 from flowdenoising_tpu.kernels import get_gaussian_kernels
 
 AXIS = "z"
@@ -106,17 +107,28 @@ def halo_exchange(local: jnp.ndarray, halo: int, boundary: Boundary,
 
 
 def _sharded_pass(padded_pass_fn, mesh: Mesh, vol: jnp.ndarray, taps,
-                  boundary: Boundary, mean_val) -> jnp.ndarray:
+                  boundary: Boundary, mean_val,
+                  slab: int | None = None) -> jnp.ndarray:
+    """One sharded axis pass.  ``slab`` bounds each shard's HBM working set:
+    the shard's halo-exchanged window is processed in slab-sized sub-windows
+    through the same scan as the single-device pipeline (bitwise-equal), so
+    a pass whose whole-shard working set would exceed HBM still runs."""
     ks2 = len(taps) // 2
     spec = P(AXIS, None, None)
 
     def local_fn(block, mv):
         window = halo_exchange(block, ks2, boundary, mv)
-        return padded_pass_fn(window, taps)
+        return slabbed_padded_pass(padded_pass_fn, window, taps,
+                                   block.shape[0], slab)
 
     mv = jnp.asarray(0.0 if mean_val is None else mean_val, vol.dtype)
+    # check_vma=False: the Pallas iteration kernels inside the pass return
+    # ShapeDtypeStructs without varying-mesh-axes annotations, which the
+    # default vma checker rejects outright.  The pass is plain data-parallel
+    # over AXIS (every output is per-shard), so the check adds nothing here.
     return jax.shard_map(
         local_fn, mesh=mesh, in_specs=(spec, P()), out_specs=spec,
+        check_vma=False,
     )(vol, mv)
 
 
@@ -170,11 +182,17 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
             pass_boundary = Boundary.WRAP
         else:
             pass_boundary = cfg.boundary
+        # Per-shard HBM bounding: size the slab from each shard's LOCAL
+        # extent with the shared single-device model (pass_slab models the
+        # per-device working set; per-device HBM equals single-device HBM).
+        local_n = ext // n_dev
+        slab = pass_slab(cfg, local_n, t.shape[1], t.shape[2], ks2)
         # Re-shard the new leading (filtered) axis across the mesh; XLA
         # lowers the layout change to an all-to-all over ICI.
         t = jax.lax.with_sharding_constraint(
             t, NamedSharding(mesh, P(AXIS, None, None)))
-        t = _sharded_pass(padded_pass, mesh, t, taps, pass_boundary, mean)
+        t = _sharded_pass(padded_pass, mesh, t, taps, pass_boundary, mean,
+                          slab)
         if ext != n:
             t = jax.lax.slice_in_dim(t, ks2, ks2 + n, axis=0)
         return jnp.transpose(t, inv_t)

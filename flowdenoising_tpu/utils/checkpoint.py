@@ -61,7 +61,14 @@ class CheckpointManager:
         logging.info(f"checkpointed pass {i} -> {self._pass_path(i)}")
 
     def load_latest(self):
-        """Returns (next_pass_index, volume, input_mean) or None."""
+        """Returns (next_pass_index, volume, input_mean) or None.
+
+        A manifest whose last completed pass is the final (X) pass returns
+        ``next_pass_index == 3`` with the FINISHED volume: a restart after
+        success writes the output directly instead of re-executing the most
+        expensive third of the run (the pipelines skip every pass when
+        ``start_pass >= 3``).
+        """
         path = os.path.join(self.dir, MANIFEST)
         if not os.path.exists(path):
             return None
@@ -70,11 +77,13 @@ class CheckpointManager:
         if manifest.get("key") != self.key:
             logging.info("checkpoint manifest does not match this input/config; ignoring")
             return None
-        i = int(manifest["completed_pass"])
-        if i >= 2:  # all three passes done; nothing to resume into
-            i = 1
+        i = min(int(manifest["completed_pass"]), 2)
         vol, _ = read_mrc(self._pass_path(i))
-        logging.info(f"resuming after pass {i} from {self._pass_path(i)}")
+        if i >= 2:
+            logging.info(f"all passes checkpointed; using finished volume "
+                         f"from {self._pass_path(i)}")
+        else:
+            logging.info(f"resuming after pass {i} from {self._pass_path(i)}")
         return i + 1, np.asarray(vol, np.float32), float(manifest.get("mean", self.mean))
 
     def clear(self) -> None:

@@ -1,12 +1,18 @@
 #!/bin/bash
-# Real-data tier: tomogram-scale textured volume through the full OF CLI.
-# The reference's analogous tier fetches the EMPIAR-10988 TS_026.rec
-# tomogram and saves it as TS_026.mrc (/root/reference/src/stress_me.sh:1-4);
-# this sandbox is zero-egress, so a membranes/filaments phantom quantized to
-# int16 -- the .rec payload dtype -- stands in.
+# Real-data tier (reference pamper_me.sh, /root/reference/src/pamper_me.sh:1-5).
+# Uses the REAL EMPIAR-10988 TS_026 tomogram when scripts/fetch_real_data.sh
+# has fetched it (docs/REAL_DATA.md), and additionally runs the quality
+# protocol against the cv2 oracle on a crop.  Offline, a membranes/filaments
+# phantom quantized to int16 (the .rec payload dtype) stands in.
 set -e
 cd "$(dirname "$0")/.."
-python scripts/make_test_volume.py -o /tmp/TS_026_syn.mrc \
-    -z 160 -y 512 -x 512 --pattern membranes --dtype int16 --noise 30
-python -m flowdenoising_tpu -i /tmp/TS_026_syn.mrc -o /tmp/TS_026_syn_SDPG.mrc -v 1
+if [ -s data/TS_026.mrc ]; then
+    IN=data/TS_026.mrc
+    python -m flowdenoising_tpu -i "$IN" -o /tmp/TS_026_SDPG.mrc -v 1
+    python scripts/real_data_eval.py "$IN"
+else
+    python scripts/make_test_volume.py -o /tmp/TS_026_syn.mrc \
+        -z 160 -y 512 -x 512 --pattern membranes --dtype int16 --noise 30
+    python -m flowdenoising_tpu -i /tmp/TS_026_syn.mrc -o /tmp/TS_026_syn_SDPG.mrc -v 1
+fi
 echo OK

@@ -99,12 +99,17 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
 
     configs = [
         ("tpu f32 solve (parity mode)", dict()),
+        ("tpu f32 solve presmooth=1.5", dict(presmooth=1.5)),
+        ("tpu f32 solve presmooth=2.5", dict(presmooth=2.5)),
         ("tpu f32 compose", dict(tap_mode="compose")),
         ("tpu f32 compose_refine", dict(tap_mode="compose_refine")),
         ("tpu bf16 D=8", dict(dtype="bfloat16", precision="bfloat16")),
         ("tpu bf16 compose symmetric (fastest)",
          dict(tap_mode="compose", precision="bfloat16",
               symmetric_adjacent=True)),
+        ("tpu bf16 compose sym presmooth=1.5",
+         dict(tap_mode="compose", precision="bfloat16",
+              symmetric_adjacent=True, presmooth=1.5)),
     ]
     # One jitted executable per config, shared across all noise levels
     # (shapes are identical) -- without this, each (config, noise) pair

@@ -49,3 +49,16 @@ def test_denoise_many_does_not_clobber_device_inputs():
     dev = jnp.asarray(host)
     denoise_many([dev], cfg)
     np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_denoise_many_to_host():
+    """Sustained-service mode: results come back as host arrays (device
+    buffers freed as they leave the window) and match per-volume calls."""
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=Boundary.WRAP,
+                       flow=FlowConfig(levels=0, winsize=5))
+    vols = [make_blob_volume(5, 24, 24, seed=s) for s in (51, 52, 53, 54)]
+    batch = denoise_many(vols, cfg, window=2, to_host=True)
+    assert all(isinstance(o, np.ndarray) for o in batch)
+    for v, out in zip(vols, batch):
+        single = np.asarray(denoise(v, cfg))
+        np.testing.assert_allclose(out, single, atol=1e-5)

@@ -34,6 +34,32 @@ def test_resume_matches_uninterrupted(tmp_path, cfg):
     np.testing.assert_allclose(out, full, atol=1e-3)
 
 
+def test_completed_run_fast_path(tmp_path, cfg, monkeypatch):
+    """A manifest with all three passes done returns the finished volume;
+    restarting after success must not re-execute any pass."""
+    vol = make_blob_volume(8, 24, 24, seed=25)
+    full = np.asarray(denoise(vol, cfg))
+
+    ckpt = CheckpointManager(str(tmp_path), cfg, vol)
+    denoise(vol, cfg, on_pass=lambda i, v: ckpt.save_pass(i, v))
+
+    resumed = CheckpointManager(str(tmp_path), cfg, vol).load_latest()
+    assert resumed is not None
+    start_pass, state, mean = resumed
+    assert start_pass == 3
+
+    # no pass may execute from here: poison the pass-program cache
+    import flowdenoising_tpu.core.pipeline as pl
+
+    def _boom(*a, **k):
+        raise AssertionError("a pass re-executed after a completed run")
+
+    monkeypatch.setattr(pl, "_cached_pass", _boom)
+    out = np.asarray(denoise(state, cfg, start_pass=start_pass,
+                             mean_val=np.float32(mean)))
+    np.testing.assert_allclose(out, full, atol=1e-3)
+
+
 def test_manifest_rejects_other_config(tmp_path, cfg):
     vol = make_blob_volume(8, 24, 24, seed=22)
     ckpt = CheckpointManager(str(tmp_path), cfg, vol)

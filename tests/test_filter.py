@@ -200,3 +200,50 @@ def test_tiny_axis_of_wrap_kernel_longer_than_axis():
     err = np.abs(ours - ref)
     assert err.max() < TOL_MAX, err.max()
     assert err.mean() < TOL_MEAN, err.mean()
+
+
+def test_presmooth_zero_is_noop():
+    # presmooth=0 must take the exact reference-operand path (same program)
+    vol = make_blob_volume(8, 24, 24, seed=31) + \
+        np.random.default_rng(0).normal(scale=10, size=(8, 24, 24)).astype(np.float32)
+    cfg0 = FilterConfig(sigma=(0.5, 0.5, 0.5),
+                        flow=FlowConfig(levels=0, winsize=5))
+    import dataclasses
+    cfgp = dataclasses.replace(
+        cfg0, flow=dataclasses.replace(cfg0.flow, presmooth=0.0))
+    a = np.asarray(denoise(vol, cfg0))
+    b = np.asarray(denoise(vol, cfgp))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_presmooth_estimation_only():
+    """Flows from pre-smoothed operands, warps from the raw volume: the
+    output stays close to the exact-operand pipeline on noisy data (flow
+    noise suppression must not blur signal into the output)."""
+    rng = np.random.default_rng(7)
+    vol = make_blob_volume(10, 32, 32, seed=33) * 4.0
+    noisy = vol + rng.normal(scale=12, size=vol.shape).astype(np.float32)
+    cfg = FilterConfig(sigma=(1.0, 0.5, 0.5),
+                       flow=FlowConfig(levels=1, winsize=5))
+    import dataclasses
+    cfgp = dataclasses.replace(
+        cfg, flow=dataclasses.replace(cfg.flow, presmooth=1.5))
+    base = np.asarray(denoise(noisy, cfg))
+    ps = np.asarray(denoise(noisy, cfgp))
+    assert not np.array_equal(base, ps)  # the estimation stack did change
+    # outputs agree closely (flow differences only move sub-pixel samples)
+    rms = float(np.sqrt(np.mean((base - ps) ** 2)))
+    peak = float(base.max() - base.min())
+    assert rms < 0.05 * peak, (rms, peak)
+
+
+def test_estimation_stack_kernel_size():
+    from flowdenoising_tpu.core.axis_filter import _estimation_stack
+    v = jnp.asarray(np.random.default_rng(1).normal(
+        size=(4, 16, 16)).astype(np.float32))
+    cfg = FlowConfig(presmooth=0.0)
+    assert _estimation_stack(v, cfg) is v
+    import dataclasses
+    out = _estimation_stack(v, dataclasses.replace(cfg, presmooth=1.0))
+    assert out.shape == v.shape
+    assert float(jnp.std(out)) < float(jnp.std(v))  # actually smoothed

@@ -66,6 +66,62 @@ def test_sharded_of_denoise_matches_single(boundary):
     assert err.max() < 5e-3, err.max()
 
 
+@pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN])
+def test_sharded_slabbing_matches_single(boundary, monkeypatch):
+    """HBM bounding on the sharded path: with a budget forcing per-shard
+    slabs, each shard runs the slab scan inside shard_map and still equals
+    the (unslabbed) single-device pipeline bitwise in data movement."""
+    import flowdenoising_tpu.core.pipeline as pl
+    from flowdenoising_tpu.core.pipeline import pass_slab
+
+    vol = make_blob_volume(32, 24, 16, seed=15)
+    cfg = FilterConfig(sigma=(1.0, 0.5, 0.5), boundary=boundary,
+                       flow=FlowConfig(levels=0, winsize=5))
+    single = np.asarray(denoise(vol, cfg))
+
+    # Budget + floor small enough that the padded 5-slice local Z shards
+    # (ext 40 over 8 devices) slab at 2 slices.
+    monkeypatch.setattr(pl, "_AUTO_SLAB_BUDGET", 600_000)
+    monkeypatch.setattr(pl, "_SLAB_FLOOR", 2)
+    assert pass_slab(cfg, 5, 24, 16, 4) == 2  # the model binds per-shard
+    sharded = np.asarray(denoise_sharded(vol, cfg, n_devices=8))
+    err = np.abs(sharded - single)
+    assert err.max() < 5e-3, err.max()
+
+
+def test_sharded_explicit_slab_size(monkeypatch):
+    """cfg.slab_size is honored per-shard under shard_map."""
+    vol = make_blob_volume(32, 24, 16, seed=16)
+    cfg = FilterConfig(sigma=(1.0, 0.5, 0.5), boundary=Boundary.WRAP,
+                       flow=FlowConfig(levels=0, winsize=5), slab_size=2)
+    single = np.asarray(denoise(vol, cfg))
+    sharded = np.asarray(denoise_sharded(vol, cfg, n_devices=8))
+    err = np.abs(sharded - single)
+    assert err.max() < 5e-3, err.max()
+
+
+def test_headline_sharded_working_set_fits_v5e():
+    """BASELINE config 4 feasibility: at 1024x1024x512 over a v5e-8 mesh,
+    every pass's modeled per-device slab working set must fit v5e HBM
+    (~16G; the budget leaves room for buffers + XLA scratch)."""
+    import flowdenoising_tpu.core.pipeline as pl
+    from flowdenoising_tpu.core.pipeline import pass_slab
+
+    cfg = FilterConfig(sigma=(2.0, 2.0, 2.0))  # solve f32, 17 taps
+    shape = (512, 1024, 1024)
+    n_dev, ks2 = 8, 8
+    hbm = 16 * 1024 ** 3
+    for axis in range(3):
+        n_local = shape[axis] // n_dev
+        plane = [s for i, s in enumerate(shape) if i != axis]
+        slab = pass_slab(cfg, n_local, plane[0], plane[1], ks2) or n_local
+        per_slice = plane[0] * plane[1] * pl._BYTES_PER_VOXEL_EO
+        window_bytes = (min(slab, n_local) + 2 * ks2) * per_slice
+        # the halo'd slab window plus in/out shard buffers must fit
+        shard_bytes = 2 * n_local * plane[0] * plane[1] * 4
+        assert window_bytes + shard_bytes < hbm, (axis, slab, window_bytes)
+
+
 @pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN, Boundary.REPLICATE])
 def test_sharded_gaussian_uneven_axes(boundary):
     # No axis divisible by 8: every pass takes the pad+crop path.

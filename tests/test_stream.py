@@ -96,6 +96,40 @@ def test_boundary_window_mean_fill():
     np.testing.assert_array_equal(w[-2:], np.full((2, 4, 4), 7.0))
 
 
+def test_streamed_solve_uses_eo_slab_model(tmp_path, monkeypatch, caplog):
+    """The streamed pipeline must size solve-mode slabs with the SAME model
+    as the in-memory pipeline -- including the eo sampling operand growth
+    (a non-eo-modeled slab can come out ~2x too large and OOM in exactly
+    the >host-RAM regime --stream exists for)."""
+    import logging as _logging
+    import flowdenoising_tpu.core.pipeline as pl
+    from flowdenoising_tpu.core.pipeline import pass_slab
+    from flowdenoising_tpu.ops.farneback import _umuf_opts
+
+    vol = _vol((16, 24, 20), seed=13)
+    cfg = FilterConfig(sigma=(1.0, 1.0, 1.0), boundary=Boundary.WRAP,
+                       use_flow=True, flow=FlowConfig(levels=0, winsize=5))
+    ks2 = 4  # sigma=1.0 -> 9 taps
+
+    # Force the budget small enough that the model binds at this plane size.
+    monkeypatch.setattr(pl, "_AUTO_SLAB_BUDGET", 24 * 20 * 4 * 60 * 10)
+    expect = pass_slab(cfg, 16, 24, 20, ks2)
+    assert expect is not None and expect < 16
+    if _umuf_opts()["eo"]:
+        # eo model must bind TIGHTER than the non-eo one at equal budget
+        non_eo = pl._auto_slab(16, 24, 20, ks2, True, "solve", False)
+        assert expect < (non_eo or 16)
+
+    ref = np.asarray(denoise(jnp.asarray(vol), cfg))
+    with caplog.at_level(_logging.INFO):
+        out = np.asarray(denoise_streamed(vol, cfg, tmp_dir=str(tmp_path)))
+    np.testing.assert_array_equal(out, ref)
+    slabs = [int(m.split("slab=")[1].split()[0])
+             for m in (r.getMessage() for r in caplog.records)
+             if "streamed pass 0" in m]
+    assert slabs == [expect]
+
+
 def test_cli_stream_e2e(tmp_path):
     from flowdenoising_tpu.cli import main
     from flowdenoising_tpu.io.volume import read_volume, write_volume
