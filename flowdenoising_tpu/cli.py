@@ -90,15 +90,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "adjacent pairs only and chain flow fields (~8x fewer "
                         "solves); 'compose_refine' adds one full-res Farneback "
                         "iteration per tap")
-    p.add_argument("--max_displacement", type=int_or_str, default=8,
-                   help="Per-tap flow sampling bound in pixels (default 8). "
-                        "Motions beyond it are clamped during sampling "
-                        "(QUALITY.md, membranes tier); raise it for data "
-                        "with large inter-slice drift, pass 'auto' to probe "
-                        "the volume's motion scale and pick the bound "
-                        "(core/autodisp.py), or pass 0 for the unbounded "
-                        "exact-gather path (slow: XLA gathers instead of "
-                        "the Pallas windowed kernels)")
+    p.add_argument("--max_displacement", type=int_or_str, default=None,
+                   help="Per-tap flow sampling bound in pixels; motions "
+                        "beyond it are clamped during sampling.  Default "
+                        "'auto': probe the volume's motion scale and pick "
+                        "the smallest lossless bound (core/autodisp.py; "
+                        "QUALITY.md shows it recovering large-drift quality "
+                        "AND speeding up calm data, no tier regressions).  "
+                        "Pass an integer to fix the bound (the library "
+                        "default is 8), or 0 for the unbounded exact-gather "
+                        "path (slow: XLA gathers instead of the Pallas "
+                        "windowed kernels).  Multi-process --coordinator "
+                        "runs default to the fixed bound (the probe needs "
+                        "the volume on one host)")
     p.add_argument("--flow_presmooth", type=float, default=0.0,
                    help="Estimate flows from a copy of the volume pre-"
                         "smoothed in-plane with this Gaussian sigma (px); "
@@ -184,6 +188,12 @@ def main(argv=None) -> int:
 
     # Flag validation that must fail fast BEFORE the distributed runtime
     # comes up (a post-init abort would have every host connect first).
+    if args.max_displacement is None:
+        # default: auto-probe on single-host flow runs; the fixed library
+        # bound for multi-process runs (probe needs the volume on one host)
+        # and -n runs (no flow, nothing to probe)
+        args.max_displacement = (8 if (args.coordinator or args.no_OF)
+                                 else "auto")
     auto_disp = args.max_displacement == "auto"
     if isinstance(args.max_displacement, str) and not auto_disp:
         raise SystemExit(f"--max_displacement must be an integer or 'auto', "

@@ -252,6 +252,16 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
     import concurrent.futures
     import itertools
 
+    def _sync(x):
+        # Real synchronization point: a scalar fetch completes only after
+        # the producing computation.  block_until_ready does NOT block on
+        # some remote PJRT transports (observed on this machine's tunneled
+        # TPU), which silently disabled the window's backpressure -- every
+        # volume dispatched at once and deferred deallocations piled up
+        # (the 8.2 -> 71 s/vol batch decay in BASELINE.md).
+        if isinstance(x, jax.Array):
+            float(np.asarray(x[(0,) * x.ndim]))
+
     it = iter(vols)
     staged = collections.deque()
 
@@ -289,13 +299,13 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
                     # volume is already dispatched and overlaps the D2H)
                     outs[i] = np.asarray(outs[i])
                 else:
-                    outs[i].block_until_ready()
+                    _sync(outs[i])
         for i, o in enumerate(outs):
             if to_host:
                 if not isinstance(o, np.ndarray):
                     outs[i] = np.asarray(o)
             else:
-                o.block_until_ready()
+                _sync(o)
     return outs
 
 

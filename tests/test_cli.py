@@ -80,9 +80,11 @@ def test_cli_fast_modes(tmp_path):
 
 def test_cli_max_displacement(tmp_path):
     # --max_displacement reaches FlowConfig; 0 selects the unbounded
-    # exact-gather sampling path (max_displacement=None).
+    # exact-gather sampling path (max_displacement=None).  The CLI default
+    # is the auto probe (None sentinel resolved in main; QUALITY.md default
+    # decision), except for -n / --coordinator runs.
     p = build_parser()
-    assert p.parse_args([]).max_displacement == 8
+    assert p.parse_args([]).max_displacement is None
     vol = make_blob_volume(6, 32, 32, seed=15)
     src, dst0, dst1 = (tmp_path / n for n in ("in.tif", "o0.tif", "o1.tif"))
     write_tiff(src, vol.astype(np.float32))
