@@ -26,6 +26,7 @@ whole-axis pass.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -309,6 +310,31 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
     return outs
 
 
+# (jitted fn, shape) pairs already submitted for ahead-of-use compilation
+_warmed: set = set()
+
+
+def _compile_ahead(plan) -> None:
+    """Warm the compilation cache for later passes WHILE an earlier pass
+    executes (background thread; device compile is server-side work that
+    overlaps execution).  First runs at a new shape pay minutes of XLA
+    compile per distinct pass program serially otherwise (measured: Z
+    583 s then Y 177 s at 1024x1024x512); with the persistent compile
+    cache enabled the main thread's later dispatch becomes a fast cache
+    hit.  Best-effort: any failure just means the normal compile path.
+    """
+    import threading
+
+    def run():
+        for pass_fn, aval, mv_aval in plan:
+            try:
+                pass_fn.lower(aval, mv_aval).compile()
+            except Exception:
+                return
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
             kernels=None, start_pass: int = 0, mean_val=None,
             on_pass=None, owned: bool = False) -> jnp.ndarray:
@@ -344,6 +370,28 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
     out = vol
     del vol  # the pipeline owns the buffer now; keep no extra reference
     layout = (0, 1, 2)
+
+    # Background-compile the LATER passes' programs while the first pass
+    # runs (eager path only -- inside an outer jit everything is one trace).
+    if (not isinstance(out, jax.core.Tracer)
+            and os.environ.get("FDTPU_COMPILE_AHEAD", "1") != "0"):
+        plan = []
+        for j in range(max(start_pass, 0) + 1, len(kernels)):
+            tgt = targets[j]
+            pj = [vol_shape[ax] for ax in tgt[1:]]
+            taps_j = kernels[j]
+            slab_j = pass_slab(cfg, vol_shape[tgt[0]], pj[0], pj[1],
+                               len(taps_j) // 2)
+            fn_j = _cached_pass(tuple(np.asarray(taps_j, np.float64)),
+                                cfg.boundary, cfg.flow, slab_j)
+            shape = (vol_shape[tgt[0]], pj[0], pj[1])
+            if (fn_j, shape) in _warmed:
+                continue
+            _warmed.add((fn_j, shape))
+            plan.append((fn_j, jax.ShapeDtypeStruct(shape, jnp.float32),
+                         jax.ShapeDtypeStruct((), jnp.float32)))
+        if plan:
+            _compile_ahead(plan)
     for i, taps in enumerate(kernels):
         if i < start_pass:
             continue

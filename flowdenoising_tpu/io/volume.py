@@ -41,8 +41,14 @@ def read_volume(path: str | os.PathLike, memory_map: bool = False,
             return read_mrc_f32(path)
         data, _ = read_mrc(path, memory_map=memory_map)
         return data.astype(np.float32) if as_f32 and data.dtype != np.float32 else data
-    data = read_tiff(path).astype(np.float32)
-    return data
+    data = read_tiff(path)
+    if memory_map and not as_f32 and isinstance(data, np.ndarray) \
+            and data.base is not None:
+        # contiguous native TIFF pages come back as ONE mmap-backed view;
+        # streamed mode consumes it in stored dtype (per-window conversion),
+        # same as MRC memmaps -- a >RAM stack never materializes
+        return data
+    return data.astype(np.float32)
 
 
 def write_volume(path: str | os.PathLike, data: np.ndarray,

@@ -155,3 +155,43 @@ def test_read_volume_as_f32(tmp_path):
     out = read_volume(tmp_path / "i16.mrc", as_f32=True)
     assert out.dtype == np.float32
     np.testing.assert_array_equal(out, vol.astype(np.float32))
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    """BigTIFF (version 43, 64-bit offsets) round-trips every supported
+    dtype; the auto-switch threshold is exercised via force_bigtiff."""
+    import struct
+    from flowdenoising_tpu.io.tiff import read_tiff, write_tiff
+    rng = np.random.default_rng(5)
+    for dt in (np.uint8, np.int16, np.uint16, np.float32, np.float64):
+        vol = (rng.normal(scale=50, size=(5, 19, 23)) + 100).astype(dt)
+        p = tmp_path / f"big_{np.dtype(dt).name}.tif"
+        write_tiff(p, vol, force_bigtiff=True)
+        with open(p, "rb") as f:
+            hdr = f.read(4)
+        assert struct.unpack("<2sH", hdr) == (b"II", 43)
+        out = read_tiff(p)
+        assert out.dtype == np.dtype(dt)
+        np.testing.assert_array_equal(out, vol)
+
+
+def test_bigtiff_single_page(tmp_path):
+    from flowdenoising_tpu.io.tiff import read_tiff, write_tiff
+    img = np.arange(7 * 11, dtype=np.float32).reshape(7, 11)
+    p = tmp_path / "one.tif"
+    write_tiff(p, img, force_bigtiff=True)
+    out = read_tiff(p)
+    assert out.ndim == 2
+    np.testing.assert_array_equal(out, img)
+
+
+def test_tiff_multipage_zero_copy_view(tmp_path):
+    """Contiguous same-shape pages come back as ONE mmap-backed view (no
+    materialization of the stack)."""
+    from flowdenoising_tpu.io.tiff import read_tiff, write_tiff
+    vol = np.arange(4 * 8 * 8, dtype=np.int16).reshape(4, 8, 8)
+    p = tmp_path / "v.tif"
+    write_tiff(p, vol)
+    out = read_tiff(p)
+    np.testing.assert_array_equal(out, vol)
+    assert out.base is not None  # a view of the mapping, not a copy

@@ -144,3 +144,23 @@ def test_cli_stream_e2e(tmp_path):
     cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), use_flow=False)
     ref = np.asarray(denoise(jnp.asarray(vol), cfg))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_cli_stream_tiff_input(tmp_path):
+    """--stream with TIFF input: the stack stays an mmap-backed view in
+    stored dtype (int16 here); per-window conversion matches the in-memory
+    pipeline on the f32-cast volume."""
+    from flowdenoising_tpu.cli import main
+    from flowdenoising_tpu.io.tiff import write_tiff
+    from flowdenoising_tpu.io.volume import read_volume
+    vol = (_vol((8, 16, 16), seed=17)).astype(np.int16)
+    src = tmp_path / "in.tif"
+    dst = tmp_path / "out.tif"
+    write_tiff(src, vol)
+    rc = main(["-i", str(src), "-o", str(dst), "-n", "-s", "0.5",
+               "--stream", "--slab_size", "3"])
+    assert rc == 0
+    out = read_volume(dst)
+    cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), use_flow=False)
+    ref = np.asarray(denoise(jnp.asarray(vol.astype(np.float32)), cfg))
+    np.testing.assert_array_equal(out, ref)
