@@ -266,7 +266,19 @@ def main(argv=None) -> int:
     if args.coordinator:
         return _main_distributed(args, cfg, prof)
 
-    from flowdenoising_tpu.io.volume import read_volume, write_volume
+    from flowdenoising_tpu.io.volume import (
+        is_mrc_input, read_volume, write_volume)
+
+    # Preserve the input's pixel calibration (MRC CELLA -> voxel size) into
+    # the output header; the reference drops it (mrcfile.new writes cell 0).
+    voxel_size = None
+    if is_mrc_input(args.input) and os.path.exists(str(args.input)):
+        from flowdenoising_tpu.io.mrc import _HEADER_BYTES, _parse_header
+        try:
+            with open(args.input, "rb") as f:
+                voxel_size = _parse_header(f.read(_HEADER_BYTES)).voxel_size
+        except Exception:
+            voxel_size = None
 
     with prof.phase("read"):
         # as_f32 takes the native libfdio fused decode/convert path for MRC
@@ -363,7 +375,8 @@ def main(argv=None) -> int:
     log_volume_stats(str(args.output), filtered)
 
     with prof.phase("write"):
-        write_volume(args.output, filtered, quantize=args.tiff_quantize)
+        write_volume(args.output, filtered, quantize=args.tiff_quantize,
+                     voxel_size=voxel_size)
     if args.stream and stream_scratch is not None:
         import shutil
         del filtered

@@ -54,6 +54,16 @@ class MrcHeader:
     def shape(self) -> tuple[int, int, int]:
         return (self.nz, self.ny, self.nx)
 
+    @property
+    def voxel_size(self) -> tuple[float, float, float] | None:
+        """(vx, vy, vz) in Angstroms from CELLA / grid size, or None when
+        the header carries no cell (cella all zero)."""
+        if not any(self.cella):
+            return None
+        return (self.cella[0] / max(self.nx, 1),
+                self.cella[1] / max(self.ny, 1),
+                self.cella[2] / max(self.nz, 1))
+
 
 def _parse_header(buf: bytes) -> MrcHeader:
     machst = buf[212:214]

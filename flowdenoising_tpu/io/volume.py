@@ -52,16 +52,20 @@ def read_volume(path: str | os.PathLike, memory_map: bool = False,
 
 
 def write_volume(path: str | os.PathLike, data: np.ndarray,
-                 quantize: bool = False) -> None:
+                 quantize: bool = False, voxel_size=None) -> None:
     """Write a volume; MRC as float32 (flowdenoising.py:544).
 
     TIFF: float32 by default (main-CLI semantics).  ``quantize`` applies the
     sequential variant's integer output quantization -- uint8 when
     max < 256 else uint16 (/root/reference/src/flowdenoising_sequential.py:566-571).
+    ``voxel_size`` ((vx, vy, vz) Angstroms) is written into the MRC CELLA so
+    downstream tools keep the pixel calibration (the reference drops it);
+    ignored for TIFF.
     """
     data = np.asarray(data)
     if is_mrc_output(path):
-        write_mrc(path, np.asarray(data, dtype=np.float32))
+        write_mrc(path, np.asarray(data, dtype=np.float32),
+                  voxel_size=voxel_size)
     elif quantize:
         dt = np.uint8 if np.max(data) < 256 else np.uint16
         write_tiff(path, data.astype(dt))

@@ -57,7 +57,7 @@ def sharded_stats(arr):
     return tuple(float(x) for x in stats(arr))
 
 
-def write_mrc_sharded(path, arr) -> None:
+def write_mrc_sharded(path, arr, voxel_size=None) -> None:
     """Write a sharded global f32 array as one MRC file on SHARED storage.
 
     Process 0 writes the header (global statistics via jitted reductions)
@@ -74,7 +74,8 @@ def write_mrc_sharded(path, arr) -> None:
     nz, ny, nx = arr.shape
     dmin, dmax, dmean, rms = sharded_stats(arr)
     if jax.process_index() == 0:
-        hdr = build_mrc_header(nx, ny, nz, 2, dmin, dmax, dmean, rms)
+        hdr = build_mrc_header(nx, ny, nz, 2, dmin, dmax, dmean, rms,
+                               voxel_size)
         with open(path, "wb") as f:
             f.write(hdr)
             f.truncate(_HEADER_BYTES + arr.size * 4)
@@ -126,5 +127,9 @@ def run_distributed(input_path, output_path, cfg, kernels=None,
 
     out = denoise_sharded(garr, cfg, kernels=kernels, mesh=probe,
                           on_pass=on_pass)
-    write_mrc_sharded(output_path, out)
+    # preserve the input's pixel calibration (CELLA) in the shared output
+    from flowdenoising_tpu.io.mrc import _HEADER_BYTES, _parse_header
+    with open(input_path, "rb") as f:
+        voxel_size = _parse_header(f.read(_HEADER_BYTES)).voxel_size
+    write_mrc_sharded(output_path, out, voxel_size)
     return out

@@ -107,3 +107,19 @@ def test_cli_fingerprint(capsys, tmp_path):
     main(["-i", str(src), "-o", str(dst), "-n", "-s", "0.5", "--show_fingerprint"])
     captured = capsys.readouterr()
     assert "fingerprint =" in captured.out
+
+
+def test_cli_preserves_voxel_size(tmp_path):
+    """Input MRC pixel calibration (CELLA) survives into the output header
+    (the reference drops it -- mrcfile.new leaves cell 0)."""
+    from flowdenoising_tpu.io.mrc import (_HEADER_BYTES, _parse_header,
+                                          write_mrc)
+    vol = make_blob_volume(6, 16, 16, seed=19)
+    src, dst = tmp_path / "in.mrc", tmp_path / "out.mrc"
+    write_mrc(src, vol, voxel_size=(7.5, 7.5, 12.0))
+    rc = main(["-i", str(src), "-o", str(dst), "-n", "-s", "0.5"])
+    assert rc == 0
+    with open(dst, "rb") as f:
+        hdr = _parse_header(f.read(_HEADER_BYTES))
+    assert hdr.voxel_size is not None
+    np.testing.assert_allclose(hdr.voxel_size, (7.5, 7.5, 12.0), rtol=1e-5)
