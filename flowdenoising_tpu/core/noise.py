@@ -1,0 +1,64 @@
+"""Input noise estimation and the ``--flow_presmooth auto`` policy.
+
+``FlowConfig.presmooth`` suppresses flow-estimation noise (axis_filter
+``_estimation_stack``); QUALITY.md measures when it pays: at noise sigma >=
+~30 on both volume families presmooth=1.5 beats the exact-operand parity
+mode on SSIM (and the cv2 reference), while on the low-noise membranes tier
+it costs ~0.3 dB PSNR (fine structure blurs out of the estimation operands).
+
+``auto`` therefore enables presmooth only when the input is CLEARLY noisy:
+estimated noise >= _REL_THRESHOLD of the estimated signal spread.  Tier
+calibration (scripts/quality_eval.py volumes):
+
+    membranes n15 rel=0.31 (presmooth loses)   -> off
+    blobs     n30 rel=0.24 (small win)         -> off (conservative)
+    blobs     n60 rel=0.48 (clear win)         -> on
+    membranes n30 rel=0.61, n60 rel=1.23 (win) -> on
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from flowdenoising_tpu.config import FilterConfig
+
+_REL_THRESHOLD = 0.45
+_AUTO_SIGMA = 1.5
+
+
+def estimate_noise(vol, n_slices: int = 5) -> float:
+    """Immerkaer fast noise estimate (std of i.i.d. pixel noise), averaged
+    over evenly sampled Z slices.  Within ~1% of the true sigma on the
+    quality-tier volumes; host-side, touches only the sampled planes."""
+    n = vol.shape[0]
+    zs = np.unique(np.linspace(0, n - 1, min(n_slices, n)).astype(int))
+    vals = []
+    for z in zs:
+        s = np.asarray(vol[z], np.float64)
+        if s.shape[0] < 3 or s.shape[1] < 3:
+            continue
+        lap = (4 * s[1:-1, 1:-1]
+               - 2 * (s[:-2, 1:-1] + s[2:, 1:-1]
+                      + s[1:-1, :-2] + s[1:-1, 2:])
+               + (s[:-2, :-2] + s[:-2, 2:] + s[2:, :-2] + s[2:, 2:]))
+        vals.append(np.sqrt(np.pi / 2) / 6 * np.mean(np.abs(lap)))
+    return float(np.mean(vals)) if vals else 0.0
+
+
+def resolve_auto_presmooth(vol, cfg: FilterConfig) -> FilterConfig:
+    """Return ``cfg`` with presmooth set by the measured-noise policy."""
+    sigma_n = estimate_noise(vol)
+    # signal spread of the noisy volume, noise contribution removed
+    zs = np.unique(np.linspace(0, vol.shape[0] - 1, 5).astype(int))
+    total_std = float(np.std(np.stack([np.asarray(vol[z], np.float64)
+                                       for z in zs])))
+    signal = np.sqrt(max(total_std ** 2 - sigma_n ** 2, 1e-12))
+    rel = sigma_n / signal if signal > 0 else 0.0
+    ps = _AUTO_SIGMA if rel >= _REL_THRESHOLD else 0.0
+    logging.info(f"auto flow_presmooth: noise est {sigma_n:.2f}, signal "
+                 f"spread {signal:.2f} (rel {rel:.2f}) -> presmooth={ps}")
+    return dataclasses.replace(
+        cfg, flow=dataclasses.replace(cfg.flow, presmooth=ps))

@@ -1,0 +1,51 @@
+"""Noise estimation + --flow_presmooth auto policy."""
+
+import numpy as np
+
+from conftest import make_blob_volume
+from flowdenoising_tpu.config import FilterConfig
+from flowdenoising_tpu.core.noise import estimate_noise, resolve_auto_presmooth
+
+
+def test_estimate_noise_accuracy():
+    rng = np.random.default_rng(0)
+    clean = make_blob_volume(8, 64, 64, seed=3)
+    for sigma in (5.0, 20.0, 50.0):
+        noisy = clean + rng.normal(scale=sigma, size=clean.shape).astype(np.float32)
+        est = estimate_noise(noisy)
+        assert abs(est - sigma) < 0.15 * sigma, (est, sigma)
+
+
+def test_auto_presmooth_policy():
+    rng = np.random.default_rng(1)
+    clean = make_blob_volume(8, 64, 64, seed=4)
+    cfg = FilterConfig()
+    # clean input: presmooth stays off
+    assert resolve_auto_presmooth(clean, cfg).flow.presmooth == 0.0
+    # clearly noisy input (noise ~ signal spread): presmooth enabled
+    noisy = clean + rng.normal(scale=0.8 * clean.std(),
+                               size=clean.shape).astype(np.float32)
+    assert resolve_auto_presmooth(noisy, cfg).flow.presmooth > 0.0
+
+
+def test_cli_flow_presmooth_auto(tmp_path):
+    from flowdenoising_tpu.cli import main
+    from flowdenoising_tpu.io.mrc import write_mrc, read_mrc
+    rng = np.random.default_rng(2)
+    clean = make_blob_volume(6, 24, 24, seed=5)
+    noisy = clean + rng.normal(scale=0.9 * clean.std(),
+                               size=clean.shape).astype(np.float32)
+    src, dst = tmp_path / "in.mrc", tmp_path / "out.mrc"
+    write_mrc(src, noisy)
+    rc = main(["-i", str(src), "-o", str(dst), "-s", "0.5", "-l", "0",
+               "--flow_presmooth", "auto", "--max_displacement", "4"])
+    assert rc == 0
+    out, _ = read_mrc(dst)
+    assert out.shape == noisy.shape and np.isfinite(out).all()
+
+
+def test_cli_flow_presmooth_rejects_garbage():
+    import pytest
+    from flowdenoising_tpu.cli import main
+    with pytest.raises(SystemExit):
+        main(["-i", "a.mrc", "-o", "b.mrc", "--flow_presmooth", "wat"])
