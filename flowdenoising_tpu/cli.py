@@ -38,6 +38,13 @@ def int_or_str(text):
         return text
 
 
+def float_or_str(text):
+    try:
+        return float(text)
+    except ValueError:
+        return text
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -103,13 +110,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "windowed kernels).  Multi-process --coordinator "
                         "runs default to the fixed bound (the probe needs "
                         "the volume on one host)")
-    p.add_argument("--flow_presmooth", type=float, default=0.0,
+    p.add_argument("--flow_presmooth", type=float_or_str, default=0.0,
                    help="Estimate flows from a copy of the volume pre-"
                         "smoothed in-plane with this Gaussian sigma (px); "
                         "tap warps still sample the raw volume.  Suppresses "
                         "per-pixel flow noise on noisy inputs (faster "
                         "sampling AND usually better quality, QUALITY.md); "
-                        "0 keeps exact reference operand semantics")
+                        "0 keeps exact reference operand semantics.  "
+                        "'auto' measures the input's noise level and "
+                        "enables presmooth only when it is clearly noisy "
+                        "(core/noise.py policy)")
     p.add_argument("--symmetric_adjacent", action="store_true",
                    help="Compose modes: approximate backward chain links as "
                         "negated forward fields (halves the adjacent solves; "
@@ -205,6 +215,17 @@ def main(argv=None) -> int:
     if auto_disp and args.no_OF:
         logging.info("--max_displacement auto ignored: flow compensation is "
                      "disabled (-n), no displacement probe runs")
+    auto_presmooth = args.flow_presmooth == "auto"
+    if isinstance(args.flow_presmooth, str) and not auto_presmooth:
+        raise SystemExit(f"--flow_presmooth must be a number or 'auto', "
+                         f"got {args.flow_presmooth!r}")
+    if auto_presmooth and args.coordinator:
+        raise SystemExit("--flow_presmooth auto needs the input volume on "
+                         "one host to measure; pass an explicit sigma with "
+                         "--coordinator runs")
+    if auto_presmooth and args.no_OF:
+        logging.info("--flow_presmooth auto ignored: flow compensation is "
+                     "disabled (-n)")
 
     plat = os.environ.get("FDTPU_PLATFORM")
     if plat:
@@ -245,7 +266,7 @@ def main(argv=None) -> int:
             precision=args.precision,
             tap_mode=args.tap_flow,
             symmetric_adjacent=args.symmetric_adjacent,
-            presmooth=args.flow_presmooth,
+            presmooth=(0.0 if auto_presmooth else args.flow_presmooth),
             max_displacement=(8 if auto_disp else
                               args.max_displacement
                               if args.max_displacement > 0 else None),
@@ -296,6 +317,9 @@ def main(argv=None) -> int:
         from flowdenoising_tpu.core.autodisp import resolve_auto_displacement
         with prof.phase("probe"):
             cfg = resolve_auto_displacement(vol, cfg)
+    if auto_presmooth and cfg.use_flow:
+        from flowdenoising_tpu.core.noise import resolve_auto_presmooth
+        cfg = resolve_auto_presmooth(vol, cfg)
 
     kernels = get_gaussian_kernels(sigma)
     logging.info(f"length of each filter (Z, Y, X) = {[len(k) for k in kernels]}")
