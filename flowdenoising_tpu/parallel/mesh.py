@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -214,14 +215,34 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
         mean_val = jnp.mean(vol)
     mv = jnp.asarray(0.0 if mean_val is None else mean_val, jnp.float32)
 
-    out = vol
+    pass_fns = {}
     for i, taps in enumerate(kernels):
         if i < start_pass:
             continue
         fn = functools.partial(one_pass, pass_index=i, taps=taps)
         if jit:
             fn = jax.jit(fn, out_shardings=io_sharding)
-        out = fn(out, mv)
+        pass_fns[i] = fn
+
+    # size gate: each denoise_sharded call builds fresh pass closures, so
+    # (unlike the pipeline's _warmed dedup) repeated small-volume calls
+    # would re-lower in the background every time; ahead-compilation only
+    # pays where compiles are minutes long, i.e. at production shapes
+    if jit and len(pass_fns) > 1 and vol.size >= 2 ** 24 \
+            and not isinstance(vol, jax.core.Tracer) \
+            and os.environ.get("FDTPU_COMPILE_AHEAD", "1") != "0":
+        # background-compile the later passes' sharded programs while the
+        # first executes (same scheme as pipeline._compile_ahead)
+        from flowdenoising_tpu.core.pipeline import _compile_ahead
+        aval = jax.ShapeDtypeStruct(vol.shape, jnp.float32,
+                                    sharding=io_sharding)
+        mv_aval = jax.ShapeDtypeStruct((), jnp.float32)
+        later = sorted(pass_fns)[1:]
+        _compile_ahead([(pass_fns[i], aval, mv_aval) for i in later])
+
+    out = vol
+    for i in sorted(pass_fns):
+        out = pass_fns[i](out, mv)
         if on_pass is not None:
             on_pass(i, out)
     return out
