@@ -290,6 +290,12 @@ def main(argv=None) -> int:
     from flowdenoising_tpu.io.volume import (
         is_mrc_input, read_volume, write_volume)
 
+    if isinstance(args.input, str) and not os.path.exists(args.input):
+        raise SystemExit(f"input volume not found: {args.input}")
+    out_dir = os.path.dirname(os.path.abspath(str(args.output)))
+    if not os.path.isdir(out_dir):
+        raise SystemExit(f"output directory does not exist: {out_dir}")
+
     # Preserve the input's pixel calibration (MRC CELLA -> voxel size) into
     # the output header; the reference drops it (mrcfile.new writes cell 0).
     voxel_size = None

@@ -123,3 +123,15 @@ def test_cli_preserves_voxel_size(tmp_path):
         hdr = _parse_header(f.read(_HEADER_BYTES))
     assert hdr.voxel_size is not None
     np.testing.assert_allclose(hdr.voxel_size, (7.5, 7.5, 12.0), rtol=1e-5)
+
+
+def test_cli_missing_input_friendly_error(tmp_path):
+    import pytest
+    with pytest.raises(SystemExit, match="not found"):
+        main(["-i", str(tmp_path / "nope.mrc"), "-o", str(tmp_path / "o.mrc"),
+              "-n"])
+    with pytest.raises(SystemExit, match="output directory"):
+        vol = make_blob_volume(4, 16, 16, seed=20)
+        src = tmp_path / "in.mrc"
+        write_mrc(src, vol)
+        main(["-i", str(src), "-o", str(tmp_path / "no_dir" / "o.mrc"), "-n"])
