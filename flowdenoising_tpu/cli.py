@@ -157,7 +157,7 @@ def _main_distributed(args, cfg, prof) -> int:
     materializes the full volume."""
     import jax
 
-    from flowdenoising_tpu.io.mrc import _HEADER_BYTES, _parse_header
+    from flowdenoising_tpu.io.mrc import read_mrc_header
     from flowdenoising_tpu.io.volume import is_mrc_input, is_mrc_output
     from flowdenoising_tpu.parallel.distributed import run_distributed
     from flowdenoising_tpu.utils.progress import ProgressReporter
@@ -174,8 +174,7 @@ def _main_distributed(args, cfg, prof) -> int:
                  f"global device(s), process {jax.process_index()}"
                  f"/{jax.process_count()}")
 
-    with open(args.input, "rb") as f:
-        hdr = _parse_header(f.read(_HEADER_BYTES))
+    hdr = read_mrc_header(args.input)
     progress = ProgressReporter(total_units=int(sum(hdr.shape)))
 
     with prof.phase("filter"), progress:
@@ -300,10 +299,9 @@ def main(argv=None) -> int:
     # the output header; the reference drops it (mrcfile.new writes cell 0).
     voxel_size = None
     if is_mrc_input(args.input) and os.path.exists(str(args.input)):
-        from flowdenoising_tpu.io.mrc import _HEADER_BYTES, _parse_header
+        from flowdenoising_tpu.io.mrc import read_mrc_header
         try:
-            with open(args.input, "rb") as f:
-                voxel_size = _parse_header(f.read(_HEADER_BYTES)).voxel_size
+            voxel_size = read_mrc_header(args.input).voxel_size
         except Exception:
             voxel_size = None
 
@@ -421,9 +419,12 @@ def main(argv=None) -> int:
         # else the labeled microbench reconstruction.
         measured = None
         if trace_state.get("ok"):
+            import shutil
             from flowdenoising_tpu.utils.trace_report import (
                 measured_stage_report)
             measured = measured_stage_report(trace_state["log_dir"])
+            # the trace export can run to hundreds of MB on big volumes
+            shutil.rmtree(trace_state["log_dir"], ignore_errors=True)
         if measured is None:
             from flowdenoising_tpu.utils.stage_report import (
                 device_stage_report)

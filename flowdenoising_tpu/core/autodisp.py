@@ -188,18 +188,27 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
     adj_d = min(max_d, _pick_bound(adj_costs, adj_base, _ADJ_LADDER,
                                    "adjacent_displacement"))
     if untrackable:
-        # Probe could not distinguish bounds on these axes; never pick a
-        # bound TIGHTER than the fixed defaults there.
+        # Probe could not distinguish bounds on these curves; never pick a
+        # bound TIGHTER than the fixed defaults there.  Far and adjacent
+        # curves floor independently: an informative far curve must not
+        # launder an uninformative adjacent pick (or vice versa).
+        far_unt = [u for u in untrackable if u.endswith("/far")]
+        adj_unt = [u for u in untrackable if u.endswith("/adj")]
         floor_d = cfg.flow.max_displacement or 8
-        if max_d < floor_d:
+        floor_adj = cfg.flow.adjacent_displacement or _ADJ_LADDER[2]
+        if far_unt and max_d < floor_d:
             logging.warning(
                 f"auto max_displacement: probe flow barely beats the "
-                f"identity warp on {untrackable} (motion the probe scale "
+                f"identity warp on {far_unt} (motion the probe scale "
                 f"cannot track?); flooring pick {max_d} at the fixed "
                 f"default {floor_d}")
             max_d = floor_d
-            adj_d = max(adj_d, min(max_d, cfg.flow.adjacent_displacement
-                                   or _ADJ_LADDER[2]))
+        if adj_unt and adj_d < min(max_d, floor_adj):
+            logging.warning(
+                f"auto adjacent_displacement: uninformative adjacent probe "
+                f"on {adj_unt}; flooring pick {adj_d} at the fixed "
+                f"default {min(max_d, floor_adj)}")
+            adj_d = min(max_d, floor_adj)
     logging.info(f"auto max_displacement: probed clamp-cost curves -> "
                  f"max_displacement={max_d}, adjacent_displacement={adj_d}")
     return max_d, adj_d

@@ -29,15 +29,16 @@ _REL_THRESHOLD = 0.45
 _AUTO_SIGMA = 1.5
 
 
-def estimate_noise(vol, n_slices: int = 5) -> float:
-    """Immerkaer fast noise estimate (std of i.i.d. pixel noise), averaged
-    over evenly sampled Z slices.  Within ~1% of the true sigma on the
-    quality-tier volumes; host-side, touches only the sampled planes."""
+def _noise_and_spread(vol, n_slices: int = 5):
+    """(noise std, total std) over evenly sampled Z slices — one pass over
+    the planes (a memory-mapped >RAM volume pages each sampled plane in
+    exactly once)."""
     n = vol.shape[0]
     zs = np.unique(np.linspace(0, n - 1, min(n_slices, n)).astype(int))
-    vals = []
+    vals, slices = [], []
     for z in zs:
         s = np.asarray(vol[z], np.float64)
+        slices.append(s)
         if s.shape[0] < 3 or s.shape[1] < 3:
             continue
         lap = (4 * s[1:-1, 1:-1]
@@ -45,16 +46,22 @@ def estimate_noise(vol, n_slices: int = 5) -> float:
                       + s[1:-1, :-2] + s[1:-1, 2:])
                + (s[:-2, :-2] + s[:-2, 2:] + s[2:, :-2] + s[2:, 2:]))
         vals.append(np.sqrt(np.pi / 2) / 6 * np.mean(np.abs(lap)))
-    return float(np.mean(vals)) if vals else 0.0
+    sigma_n = float(np.mean(vals)) if vals else 0.0
+    total_std = float(np.std(np.stack(slices))) if slices else 0.0
+    return sigma_n, total_std
+
+
+def estimate_noise(vol, n_slices: int = 5) -> float:
+    """Immerkaer fast noise estimate (std of i.i.d. pixel noise), averaged
+    over evenly sampled Z slices.  Within ~1% of the true sigma on the
+    quality-tier volumes; host-side, touches only the sampled planes."""
+    return _noise_and_spread(vol, n_slices)[0]
 
 
 def resolve_auto_presmooth(vol, cfg: FilterConfig) -> FilterConfig:
     """Return ``cfg`` with presmooth set by the measured-noise policy."""
-    sigma_n = estimate_noise(vol)
+    sigma_n, total_std = _noise_and_spread(vol)
     # signal spread of the noisy volume, noise contribution removed
-    zs = np.unique(np.linspace(0, vol.shape[0] - 1, 5).astype(int))
-    total_std = float(np.std(np.stack([np.asarray(vol[z], np.float64)
-                                       for z in zs])))
     signal = np.sqrt(max(total_std ** 2 - sigma_n ** 2, 1e-12))
     rel = sigma_n / signal if signal > 0 else 0.0
     ps = _AUTO_SIGMA if rel >= _REL_THRESHOLD else 0.0

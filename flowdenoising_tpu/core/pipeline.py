@@ -310,8 +310,12 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
     return outs
 
 
-# (jitted fn, shape) pairs already submitted for ahead-of-use compilation
+# pass-program keys already submitted for ahead-of-use compilation.  Keyed
+# by VALUE (config + shape), not by the jitted-function object: holding fn
+# references here would pin executables past _cached_pass's lru eviction,
+# and replacement wrappers after eviction would defeat the dedup.
 _warmed: set = set()
+_WARMED_CAP = 4096
 
 
 def _compile_ahead(plan) -> None:
@@ -382,12 +386,15 @@ def denoise(vol: jnp.ndarray, cfg: FilterConfig = FilterConfig(),
             taps_j = kernels[j]
             slab_j = pass_slab(cfg, vol_shape[tgt[0]], pj[0], pj[1],
                                len(taps_j) // 2)
-            fn_j = _cached_pass(tuple(np.asarray(taps_j, np.float64)),
-                                cfg.boundary, cfg.flow, slab_j)
+            taps_key = tuple(np.asarray(taps_j, np.float64))
+            fn_j = _cached_pass(taps_key, cfg.boundary, cfg.flow, slab_j)
             shape = (vol_shape[tgt[0]], pj[0], pj[1])
-            if (fn_j, shape) in _warmed:
+            key = (taps_key, cfg.boundary, cfg.flow, slab_j, shape)
+            if key in _warmed:
                 continue
-            _warmed.add((fn_j, shape))
+            if len(_warmed) >= _WARMED_CAP:
+                _warmed.clear()
+            _warmed.add(key)
             plan.append((fn_j, jax.ShapeDtypeStruct(shape, jnp.float32),
                          jax.ShapeDtypeStruct((), jnp.float32)))
         if plan:

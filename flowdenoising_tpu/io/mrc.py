@@ -44,6 +44,9 @@ class MrcHeader:
     dmean: float = -2.0
     rms: float = -1.0
     little_endian: bool = True
+    mx: int = 0   # sampling grid (words 8-10); 0 -> fall back to map size
+    my: int = 0
+    mz: int = 0
 
     @property
     def dtype(self) -> np.dtype:
@@ -56,13 +59,18 @@ class MrcHeader:
 
     @property
     def voxel_size(self) -> tuple[float, float, float] | None:
-        """(vx, vy, vz) in Angstroms from CELLA / grid size, or None when
-        the header carries no cell (cella all zero)."""
+        """(vx, vy, vz) in Angstroms = CELLA / sampling grid (MX, MY, MZ —
+        NOT the map size: a cropped sub-volume keeps the source grid, so
+        dividing by NX/NY/NZ would mis-scale it), or None when the header
+        carries no cell."""
         if not any(self.cella):
             return None
-        return (self.cella[0] / max(self.nx, 1),
-                self.cella[1] / max(self.ny, 1),
-                self.cella[2] / max(self.nz, 1))
+        mx = self.mx or self.nx
+        my = self.my or self.ny
+        mz = self.mz or self.nz
+        return (self.cella[0] / max(mx, 1),
+                self.cella[1] / max(my, 1),
+                self.cella[2] / max(mz, 1))
 
 
 def _parse_header(buf: bytes) -> MrcHeader:
@@ -70,6 +78,7 @@ def _parse_header(buf: bytes) -> MrcHeader:
     little = machst not in (b"\x11\x11",)
     e = "<" if little else ">"
     nx, ny, nz, mode = struct.unpack(e + "4i", buf[0:16])
+    mx, my, mz = struct.unpack(e + "3i", buf[28:40])
     nsymbt = struct.unpack(e + "i", buf[92:96])[0]
     cella = struct.unpack(e + "3f", buf[40:52])
     dmin, dmax, dmean = struct.unpack(e + "3f", buf[76:88])
@@ -77,7 +86,14 @@ def _parse_header(buf: bytes) -> MrcHeader:
     if mode not in _MODE_DTYPES:
         raise ValueError(f"unsupported MRC mode {mode}")
     return MrcHeader(nx=nx, ny=ny, nz=nz, mode=mode, nsymbt=nsymbt, cella=cella,
-                     dmin=dmin, dmax=dmax, dmean=dmean, rms=rms, little_endian=little)
+                     dmin=dmin, dmax=dmax, dmean=dmean, rms=rms, little_endian=little,
+                     mx=mx, my=my, mz=mz)
+
+
+def read_mrc_header(path: str | os.PathLike) -> MrcHeader:
+    """Parse just the 1024-byte header of an MRC file."""
+    with open(path, "rb") as f:
+        return _parse_header(f.read(_HEADER_BYTES))
 
 
 def read_mrc(path: str | os.PathLike, memory_map: bool = False):

@@ -216,16 +216,19 @@ def write_tiff(path: str | os.PathLike, data: np.ndarray,
     nz, h, w = data.shape
     page_bytes = h * w * dt.itemsize
     data = np.ascontiguousarray(data.astype(dt.newbyteorder("<"), copy=False))
-    big = force_bigtiff or (8 + page_bytes * nz) >= _CLASSIC_LIMIT
-
-    # Layout: header | page payloads | IFDs.
+    # Layout: header | page payloads | IFDs.  The LAST IFD's offset is the
+    # largest pointer in the file, so the classic/BigTIFF switch must count
+    # the IFD tables too, not just the payload.
     tags = [256, 257, 258, 259, 262, 273, 277, 278, 279, 339]
+    classic_ifd = 2 + 12 * len(tags) + 4
+    big = force_bigtiff or \
+        (8 + page_bytes * nz + classic_ifd * nz) >= _CLASSIC_LIMIT
     if big:
         header = 16
         ifd_size = 8 + 20 * len(tags) + 8
     else:
         header = 8
-        ifd_size = 2 + 12 * len(tags) + 4
+        ifd_size = classic_ifd
     data_off = header
     ifd0 = data_off + page_bytes * nz
 

@@ -128,8 +128,7 @@ def run_distributed(input_path, output_path, cfg, kernels=None,
     out = denoise_sharded(garr, cfg, kernels=kernels, mesh=probe,
                           on_pass=on_pass)
     # preserve the input's pixel calibration (CELLA) in the shared output
-    from flowdenoising_tpu.io.mrc import _HEADER_BYTES, _parse_header
-    with open(input_path, "rb") as f:
-        voxel_size = _parse_header(f.read(_HEADER_BYTES)).voxel_size
-    write_mrc_sharded(output_path, out, voxel_size)
+    from flowdenoising_tpu.io.mrc import read_mrc_header
+    write_mrc_sharded(output_path, out,
+                      read_mrc_header(input_path).voxel_size)
     return out

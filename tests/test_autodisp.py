@@ -80,3 +80,24 @@ def test_cli_auto_end_to_end(tmp_path):
     out = read_volume(str(dst))
     assert out.shape == vol.shape
     assert np.all(np.isfinite(out))
+
+
+def test_adjacent_floor_independent_of_far(monkeypatch):
+    """An uninformative ADJACENT probe must floor the adjacent pick even
+    when the far curve is informative (and vice versa)."""
+    import flowdenoising_tpu.core.autodisp as A
+    from flowdenoising_tpu.config import FilterConfig
+
+    def fake_curve(tgt, ref, flow_cfg, probe_extent, ladder):
+        if ladder == A._D_LADDER:
+            # trackable far curve whose smallest lossless pick is D=8
+            curve = [2.0, 2.0] + [1.0] * (len(ladder) - 2)
+            return curve, 1.0, 10.0
+        # adjacent: flow barely beats identity -> untrackable
+        return [9.6] * len(ladder), 9.6, 10.0
+
+    monkeypatch.setattr(A, "_clamp_cost_curve", fake_curve)
+    vol = make_blob_volume(12, 32, 32, seed=44)
+    max_d, adj_d = A.probe_displacement(vol, FilterConfig())
+    assert max_d == 8
+    assert adj_d == 4  # floored at min(max_d, default 4), not the ladder min 2

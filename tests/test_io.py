@@ -195,3 +195,32 @@ def test_tiff_multipage_zero_copy_view(tmp_path):
     out = read_tiff(p)
     np.testing.assert_array_equal(out, vol)
     assert out.base is not None  # a view of the mapping, not a copy
+
+
+def test_voxel_size_uses_sampling_grid():
+    """A cropped map (NX < MX) must derive voxel size from the sampling
+    grid MX/MY/MZ, not the map size (MRC2014 semantics)."""
+    from flowdenoising_tpu.io.mrc import MrcHeader
+    hdr = MrcHeader(nx=512, ny=512, nz=100, mode=2,
+                    cella=(7680.0, 7680.0, 1500.0),
+                    mx=1024, my=1024, mz=200)
+    np.testing.assert_allclose(hdr.voxel_size, (7.5, 7.5, 7.5))
+    # grid absent (0): fall back to map size
+    hdr2 = MrcHeader(nx=512, ny=512, nz=100, mode=2,
+                     cella=(3840.0, 3840.0, 750.0))
+    np.testing.assert_allclose(hdr2.voxel_size, (7.5, 7.5, 7.5))
+
+
+def test_classic_tiff_limit_counts_ifd_tables(tmp_path, monkeypatch):
+    """The classic/BigTIFF switch must account for the IFD tables: the
+    last IFD's offset is the largest pointer in the file."""
+    import struct
+    import flowdenoising_tpu.io.tiff as T
+    vol = np.zeros((10, 8, 8), np.uint8)   # payload 640 B, 10 IFDs a 126 B
+    # limit between payload-only and payload+IFDs: must choose BigTIFF
+    monkeypatch.setattr(T, "_CLASSIC_LIMIT", 8 + 640 + 5 * 126)
+    p = tmp_path / "edge.tif"
+    T.write_tiff(p, vol)
+    with open(p, "rb") as f:
+        assert struct.unpack("<2sH", f.read(4)) == (b"II", 43)
+    np.testing.assert_array_equal(T.read_tiff(p), vol)
