@@ -25,8 +25,10 @@ from flowdenoising_tpu.kernels import get_gaussian_kernel
 from flowdenoising_tpu.config import FlowConfig, FilterConfig, Boundary
 from flowdenoising_tpu.ops.warp import warp_slices
 from flowdenoising_tpu.ops.farneback import farneback_flow
-from flowdenoising_tpu.core.pipeline import denoise, gaussian_denoise
+from flowdenoising_tpu.core.pipeline import (denoise, denoise_many,
+                                             gaussian_denoise)
 from flowdenoising_tpu.core.autodisp import resolve_auto_displacement
+from flowdenoising_tpu.core.noise import estimate_noise, resolve_auto_presmooth
 
 __all__ = [
     "__version__",
@@ -37,6 +39,9 @@ __all__ = [
     "warp_slices",
     "farneback_flow",
     "denoise",
+    "denoise_many",
     "gaussian_denoise",
     "resolve_auto_displacement",
+    "estimate_noise",
+    "resolve_auto_presmooth",
 ]
