@@ -21,7 +21,6 @@ halos on the edge devices.
 from __future__ import annotations
 
 import functools
-import math
 import os
 
 import jax
