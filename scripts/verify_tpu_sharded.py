@@ -92,6 +92,14 @@ def main():
     ok &= check("solve f32 pallas sharded(1) slab=10 == single", shardeds,
                 single, 5e-3)
 
+    # estimation presmooth under shard_map
+    cfgp = FilterConfig(sigma=(2.0, 2.0, 2.0), boundary=Boundary.WRAP,
+                        flow=FlowConfig(levels=3, winsize=5, presmooth=1.5))
+    singlep = np.asarray(denoise(vol, cfgp))
+    shardedp = denoise_sharded(vol, cfgp, mesh=mesh)
+    ok &= check("presmooth pallas sharded(1) == single", shardedp, singlep,
+                5e-3)
+
     print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
     return 0 if ok else 1
 
