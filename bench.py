@@ -1,19 +1,32 @@
 #!/usr/bin/env python
 """Benchmark: TPU OF-compensated denoise throughput vs the CPU reference path.
 
-Prints ONE JSON line whose headline `value`/`vs_baseline` is the
-REFERENCE-PARITY mode (per-tap Farneback solves, float32 -- the exact
-semantics of /root/reference/src/flowdenoising.py:285-290), with the
-documented fast mode (adjacent-pair compose + bf16 + symmetric links; see
-QUALITY.md for its quality deltas) reported alongside under `fast`:
+Prints one or more JSON lines, EACH a complete, valid bench record whose
+headline `value`/`vs_baseline` is the REFERENCE-PARITY mode (per-tap
+Farneback solves, float32 -- the exact semantics of
+/root/reference/src/flowdenoising.py:285-290).  The record is re-emitted
+(flushed) as each optional section completes, so a timeout at ANY point
+leaves the most recent complete record on stdout:
 
   {"metric": ..., "value": <solve Mvox/s>, "unit": "Mvoxel/s",
    "vs_baseline": <solve / measured cv2 single-core>,
-   "fast": {...}, "roofline": {...}}
+   "presmooth": {...}, "fast": {...}, "roofline": {...},
+   "sections_done": [...], "sections_skipped": [...]}
 
+Loss-proofing (round-3 bench record was lost to a driver timeout):
+- the headline line is printed+flushed the moment the FIRST timed solve rep
+  finishes; later reps/sections only enrich it,
+- a wall-clock deadline (env BENCH_DEADLINE_S, default 900 s from process
+  start) gates STARTING each optional section; skipped sections are listed
+  in `sections_skipped`,
+- the measured cv2 single-core baseline rate is cached in .bench_cache.json
+  (keyed by shape/params) so reruns have `vs_baseline` in their very first
+  emitted line without re-paying the cv2 measurement.
+
+Measurement semantics (unchanged from round 3):
 - TPU side: jit-compiled full 3-pass OF denoise (sigma=2 -> 17 taps/axis,
   levels=3, winsize=5, wrap boundary -- the reference main CLI defaults) on a
-  synthetic drifting-blob volume, timed after warmup.
+  synthetic drifting-blob volume, timed after warmup; best-of-N reps.
 - Baseline side: the reference algorithm (cv2.calcOpticalFlowFarneback +
   cv2.remap, identical tap/chaining semantics) timed on a few slices of the
   same plane size and converted to Mvoxel/s.  The reference repo publishes no
@@ -21,13 +34,15 @@ QUALITY.md for its quality deltas) reported alongside under `fast`:
   comparison in BASELINE.md maps through an assumed linear thread scale-up --
   flagged in `cpu_baseline_note`.
 - Roofline: an analytic HBM-traffic model of the 3-pass program (channel
-  counts per stage x voxels) against the v5e HBM peak, so the headroom the
-  kernels still have is visible in every bench record.
+  counts per stage x voxels) against the v5e HBM peak, plus the calibrated
+  sampling-issue floor, so the headroom the kernels still have is visible in
+  every bench record.
 
 Env knobs: BENCH_SIZE (default 256), BENCH_BASELINE_Z (default 4; 0 skips
 the cv2 measurement, leaving vs_baseline null), BENCH_MODE (of|gauss|batch),
 BENCH_SKIP_FAST=1 to bench only parity mode, BENCH_REPS (default 3 timed
-reps after warmup; best-of is reported).
+reps after warmup; best-of is reported), BENCH_DEADLINE_S (default 900),
+BENCH_NO_CACHE=1 to ignore/skip the cv2 baseline cache file.
 """
 
 import json
@@ -37,56 +52,154 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
 V5E_HBM_GBPS = 819.0  # v5e peak HBM bandwidth
+
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_cache.json")
+
+
+def _deadline_s() -> float:
+    return float(os.environ.get("BENCH_DEADLINE_S", "900"))
+
+
+def _remaining() -> float:
+    return _deadline_s() - (time.perf_counter() - _T0)
+
+
+def emit(record: dict) -> None:
+    """Print one complete bench record and flush immediately.
+
+    Every call prints a full, valid record; a consumer taking the LAST
+    parseable stdout line gets the richest one, a consumer killed between
+    emits still has the previous complete record."""
+    print(json.dumps(record), flush=True)
+
+
+def _cache_load() -> dict:
+    if os.environ.get("BENCH_NO_CACHE") == "1":
+        return {}
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _cache_store(key: str, value: dict) -> None:
+    if os.environ.get("BENCH_NO_CACHE") == "1":
+        return
+    cache = _cache_load()
+    cache[key] = value
+    try:
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception:
+        pass
+
+
+def _blob_params(n, h, w, seed=0):
+    """Host-side scalar parameters of the drifting-blob volume: blob
+    centers/radii/amplitudes and the per-slice integer drift path.  Tiny
+    (KBs), so both the host and the device generator share them."""
+    rng = np.random.default_rng(seed)
+    pad = 16
+    blobs = [(rng.uniform(pad, h + pad), rng.uniform(pad, w + pad),
+              rng.uniform(4, 18), rng.uniform(50, 200)) for _ in range(30)]
+    iys, ixs = np.zeros(n, np.int32), np.zeros(n, np.int32)
+    oy = ox = float(pad)
+    for z in range(n):
+        iys[z], ixs[z] = int(round(oy)), int(round(ox))
+        oy = min(max(oy + rng.uniform(-0.7, 0.7), 0), 2 * pad - 1)
+        ox = min(max(ox + rng.uniform(-0.7, 0.7), 0), 2 * pad - 1)
+    return pad, blobs, iys, ixs
 
 
 def make_volume(n, h, w, seed=0):
-    rng = np.random.default_rng(seed)
-    pad = 16
+    pad, blobs, iys, ixs = _blob_params(n, h, w, seed)
     yy, xx = np.mgrid[0:h + 2 * pad, 0:w + 2 * pad]
     base = np.zeros((h + 2 * pad, w + 2 * pad), np.float32)
-    for _ in range(30):
-        cy = rng.uniform(pad, h + pad)
-        cx = rng.uniform(pad, w + pad)
-        rad = rng.uniform(4, 18)
-        amp = rng.uniform(50, 200)
+    for cy, cx, rad, amp in blobs:
         base += amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * rad * rad))
     vol = np.zeros((n, h, w), np.float32)
-    oy = ox = float(pad)
     for z in range(n):
-        iy, ix = int(round(oy)), int(round(ox))
-        vol[z] = base[iy:iy + h, ix:ix + w]
-        oy = min(max(oy + rng.uniform(-0.7, 0.7), 0), 2 * pad - 1)
-        ox = min(max(ox + rng.uniform(-0.7, 0.7), 0), 2 * pad - 1)
+        vol[z] = base[iys[z]:iys[z] + h, ixs[z]:ixs[z] + w]
     # float32 noise stream: ~4x faster than normal()+astype on this host
     # (vol gen was 147s of a 512^3 bench run with the float64 stream)
+    rng = np.random.default_rng(seed + 1000)
     vol += 8.0 * rng.standard_normal(size=vol.shape, dtype=np.float32)
     return vol
 
 
-def bench_tpu(vol, cfg):
+def device_volume(n, h, w, seed=0):
+    """Generate the bench volume ON the device: same blob field and drift
+    path as :func:`make_volume` (scalar params from the host RNG), noise
+    from the device PRNG.
+
+    The bulk H2D transfer this replaces is the bench's single biggest
+    loss risk: the tunneled TPU's H2D degrades by orders of magnitude
+    under load (measured 16 MiB in 236 s on 2026-08-21 vs ~1 s healthy;
+    round 3's official bench died to exactly this).  Only O(KB) of drift
+    indices leave the host.
+    """
     import jax
     import jax.numpy as jnp
-    from flowdenoising_tpu.core.pipeline import denoise
 
-    def fn(v):
-        return denoise(v, cfg)
+    pad, blobs, iys, ixs = _blob_params(n, h, w, seed)
 
-    jfn = jax.jit(fn)
-    v = jax.device_put(jnp.asarray(vol))
-    # warmup + compile; a scalar fetch forces synchronization (more robust
-    # than block_until_ready across PJRT transports)
-    out = jfn(v)
-    float(out[0, 0, 0])
-    best = float("inf")
-    # best-of-N: the shared TPU tunnel shows multi-x slowdowns on single
-    # reps (observed 4-5x on 2026-08-19); three reps ride out most spikes
-    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
-        t0 = time.perf_counter()
-        out = jfn(v)
+    @jax.jit
+    def gen(iys, ixs):
+        yy = jnp.arange(h + 2 * pad, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(w + 2 * pad, dtype=jnp.float32)[None, :]
+        base = jnp.zeros((h + 2 * pad, w + 2 * pad), jnp.float32)
+        for cy, cx, rad, amp in blobs:
+            base = base + amp * jnp.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * rad * rad))
+        vol = jax.vmap(lambda oy, ox: jax.lax.dynamic_slice(
+            base, (oy, ox), (h, w)))(iys, ixs)
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (n, h, w),
+                                  jnp.float32)
+        return vol + 8.0 * noise
+
+    out = gen(jnp.asarray(iys), jnp.asarray(ixs))
+    out.block_until_ready()
+    return out
+
+
+class TpuBench:
+    """Warmup once, then yield one timed rep at a time so the caller can
+    emit a record between reps (loss-proofing: a kill mid-rep still leaves
+    the previous best on stdout)."""
+
+    def __init__(self, vol, cfg):
+        import jax
+        import jax.numpy as jnp
+        from flowdenoising_tpu.core.pipeline import denoise
+
+        self._jfn = jax.jit(lambda v: denoise(v, cfg))
+        self._v = (vol if isinstance(vol, jax.Array)
+                   else jax.device_put(jnp.asarray(vol)))
+        # warmup + compile; a scalar fetch forces synchronization (more
+        # robust than block_until_ready across PJRT transports)
+        out = self._jfn(self._v)
         float(out[0, 0, 0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+        self.best = float("inf")
+
+    def rep(self) -> float:
+        t0 = time.perf_counter()
+        out = self._jfn(self._v)
+        float(out[0, 0, 0])
+        self.best = min(self.best, time.perf_counter() - t0)
+        return self.best
+
+
+def bench_tpu(vol, cfg, reps=None):
+    b = TpuBench(vol, cfg)
+    for _ in range(reps or int(os.environ.get("BENCH_REPS", "3"))):
+        b.rep()
+    return b.best
 
 
 def bench_tpu_batch(vols, cfg):
@@ -101,7 +214,6 @@ def bench_tpu_batch(vols, cfg):
     (deferred deallocation churn), so the first post-warm batch is the
     representative steady-state figure.
     """
-    import jax
     import jax.numpy as jnp
     from flowdenoising_tpu.core.pipeline import denoise, denoise_many
 
@@ -200,6 +312,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "of")
     baseline_z = int(os.environ.get("BENCH_BASELINE_Z", "4"))
     skip_fast = os.environ.get("BENCH_SKIP_FAST", "0") == "1"
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     sigma = 2.0
     levels, winsize = 3, 5
     ks2 = 8  # sigma=2 -> 17 taps
@@ -215,8 +328,15 @@ def main():
                             tap_mode=tap_flow, symmetric_adjacent=symmetric),
             slab_size=None)
 
-    vol = make_volume(size, size, size, seed=0)
-    voxels = vol.size
+    voxels = size ** 3
+
+    if mode in ("of", "gauss"):
+        # Generated on-device: the tunneled TPU's bulk H2D can degrade to
+        # ~KB/s under load (round 3's bench record died to it); only KBs of
+        # drift indices are transferred.
+        vol = device_volume(size, size, size, seed=0)
+    else:
+        vol = make_volume(size, size, size, seed=0)
 
     if mode == "batch":
         cfg = make_cfg("compose", "bfloat16", True)
@@ -229,100 +349,155 @@ def main():
         vols = [np.roll(vol, 5 * s, axis=0) + np.roll(noise, 31 * s, axis=2)
                 for s in range(int(os.environ.get("BENCH_BATCH_N", "4")))]
         dt = bench_tpu_batch(vols, cfg)
-        print(json.dumps({
+        emit({
             "metric": f"OF denoise batch-of-4 throughput, {size}^3 "
                       f"compose bf16 sym, sigma=2, levels=3, winsize=5",
             "value": round(voxels / dt / 1e6, 3), "unit": "Mvoxel/s",
-            "vs_baseline": None, "tpu_seconds_per_volume": round(dt, 3)}))
+            "vs_baseline": None, "tpu_seconds_per_volume": round(dt, 3)})
         return
     if mode == "gauss":
         cfg = make_cfg("solve", "float32")
         dt = bench_tpu(vol, cfg)
-        print(json.dumps({
+        emit({
             "metric": f"Gaussian denoise throughput, {size}^3 f32",
             "value": round(voxels / dt / 1e6, 3), "unit": "Mvoxel/s",
-            "vs_baseline": None, "tpu_seconds": round(dt, 3)}))
+            "vs_baseline": None, "tpu_seconds": round(dt, 3)})
         return
 
-    # --- reference-parity mode (headline) ---
-    dt_solve = bench_tpu(vol, make_cfg("solve", "float32"))
-    solve_rate = voxels / dt_solve / 1e6
+    # --- cv2 single-core baseline: cache hit means vs_baseline is present
+    # in the very first emitted line ---
+    cache_key = f"cv2_{size}x{size}_z{baseline_z}_s{sigma}_l{levels}_w{winsize}"
+    cached = _cache_load().get(cache_key)
+    cpu_rate = cached["rate_Mvoxel_s"] if cached else None
+    cpu_note = ("cv2 reference measured on 1 core of this host over "
+                f"{baseline_z} slices"
+                + (f" (cached {cached['measured_at']})" if cached else "")
+                + "; multicore figures in BASELINE.md assume linear thread "
+                  "scaling (host has a single core)")
+
+    done, skipped = [], []
+    result = {
+        "metric": f"OF denoise throughput, {size}^3, REFERENCE-PARITY mode "
+                  f"(per-tap solve, f32), sigma=2 (17 taps/axis), "
+                  f"levels={levels}, winsize={winsize}",
+        "value": None,
+        "unit": "Mvoxel/s",
+        "vs_baseline": None,
+        "tpu_seconds": None,
+        "cpu_reference_Mvoxel_s": round(cpu_rate, 4) if cpu_rate else None,
+        "cpu_baseline_note": cpu_note,
+        "presmooth": None,
+        "fast": None,
+        "roofline": None,
+        "sections_done": done,
+        "sections_skipped": skipped,
+    }
+
+    def set_solve(dt_solve):
+        rate = voxels / dt_solve / 1e6
+        result["value"] = round(rate, 3)
+        result["tpu_seconds"] = round(dt_solve, 3)
+        if cpu_rate:
+            result["vs_baseline"] = round(rate / cpu_rate, 2)
+        bpv = hbm_model_bytes_per_voxel(ks2, 3, "solve", "float32")
+        achieved = voxels * bpv / dt_solve / 1e9
+        floor = sampling_issue_model_s(voxels, ks2, 3)
+        result["roofline"] = {
+            "hbm_model_bytes_per_voxel_solve": round(bpv, 1),
+            "achieved_GBps_solve": round(achieved, 1),
+            "hbm_roofline_pct_solve": round(100.0 * achieved / V5E_HBM_GBPS, 1),
+            # the binding resource: the sampling trip loop's measured issue
+            # cost at measured real-flow trip counts (sampling_issue_model_s)
+            "sampling_issue_floor_s_solve": round(floor, 2),
+            "sampling_issue_floor_pct_solve": round(100.0 * floor / dt_solve, 1),
+        }
+
+    # --- reference-parity mode (headline): emit after the FIRST timed rep,
+    # enrich with the remaining reps ---
+    b = TpuBench(vol, make_cfg("solve", "float32"))
+    set_solve(b.rep())
+    done.append("solve_rep1")
+    emit(result)
+    for _ in range(reps - 1):
+        if _remaining() < 4 * b.best:
+            skipped.append("solve_reps")
+            break
+        set_solve(b.rep())
+    else:
+        done.append("solve_reps")
+    dt_solve = b.best
+    del b
+    emit(result)
+
+    def refresh_vs_baseline():
+        result["cpu_reference_Mvoxel_s"] = round(cpu_rate, 4)
+        result["vs_baseline"] = round(result["value"] / cpu_rate, 2)
+        for sec in (result["presmooth"], result["fast"]):
+            if sec is not None:
+                sec["vs_baseline"] = round(sec["value"] / cpu_rate, 2)
+
+    # --- cv2 baseline, if not cached (measure it EARLY: it is the headline's
+    # denominator, and at ~20-60 s it is cheaper than the TPU sections) ---
+    if cpu_rate is None and baseline_z > 0:
+        if _remaining() > 120:
+            cpu_rate = bench_cpu_reference(baseline_z, size, size, sigma,
+                                           levels, winsize)
+            _cache_store(cache_key, {
+                "rate_Mvoxel_s": cpu_rate,
+                "measured_at": time.strftime("%Y-%m-%d"),
+            })
+            refresh_vs_baseline()
+            done.append("cv2_baseline")
+            emit(result)
+        else:
+            skipped.append("cv2_baseline")
 
     # --- presmoothed solve: same per-tap solve semantics, flows estimated
     # from a lightly blurred operand copy (quality >= parity on the noisy
     # tiers, QUALITY.md); suppressing flow noise cuts the sampling kernels'
     # data-bound trip counts on the noisy first pass ---
-    presmooth = None
-    if not skip_fast:
+    if not skip_fast and _remaining() > (reps + 2) * dt_solve + 60:
         import dataclasses
         cfg_ps = make_cfg("solve", "float32")
         cfg_ps = dataclasses.replace(
             cfg_ps, flow=dataclasses.replace(cfg_ps.flow, presmooth=1.5))
-        dt_ps = bench_tpu(vol, cfg_ps)
-        presmooth = {"flow_presmooth": 1.5,
-                     "value": round(voxels / dt_ps / 1e6, 3),
-                     "tpu_seconds": round(dt_ps, 3)}
+        dt_ps = bench_tpu(vol, cfg_ps, reps)
+        result["presmooth"] = {
+            "flow_presmooth": 1.5,
+            "value": round(voxels / dt_ps / 1e6, 3),
+            "tpu_seconds": round(dt_ps, 3),
+            "vs_baseline": round(voxels / dt_ps / 1e6 / cpu_rate, 2)
+                           if cpu_rate else None,
+        }
+        done.append("presmooth")
+        emit(result)
+    elif not skip_fast:
+        skipped.append("presmooth")
 
     # --- documented fast mode ---
-    fast = None
-    if not skip_fast:
-        dt_fast = bench_tpu(vol, make_cfg("compose", "bfloat16", True))
-        fast = {"tap_flow": "compose", "precision": "bfloat16",
-                "symmetric_adjacent": True,
-                "value": round(voxels / dt_fast / 1e6, 3),
-                "tpu_seconds": round(dt_fast, 3)}
-
-    cpu_rate = None
-    if baseline_z > 0:
-        cpu_rate = bench_cpu_reference(baseline_z, size, size, sigma, levels,
-                                       winsize)
-    if fast is not None and cpu_rate:
-        fast["vs_baseline"] = round(fast["value"] / cpu_rate, 2)
-    if presmooth is not None and cpu_rate:
-        presmooth["vs_baseline"] = round(presmooth["value"] / cpu_rate, 2)
-
-    # --- roofline ---
-    bpv_solve = hbm_model_bytes_per_voxel(ks2, 3, "solve", "float32")
-    achieved = voxels * bpv_solve / dt_solve / 1e9
-    issue_floor = sampling_issue_model_s(voxels, ks2, 3)
-    roofline = {
-        "hbm_model_bytes_per_voxel_solve": round(bpv_solve, 1),
-        "achieved_GBps_solve": round(achieved, 1),
-        "hbm_roofline_pct_solve": round(100.0 * achieved / V5E_HBM_GBPS, 1),
-        # the binding resource: the sampling trip loop's measured issue
-        # cost at measured real-flow trip counts (see
-        # sampling_issue_model_s); solve time over this calibrated floor
-        "sampling_issue_floor_s_solve": round(issue_floor, 2),
-        "sampling_issue_floor_pct_solve": round(
-            100.0 * issue_floor / dt_solve, 1),
-    }
-    if fast is not None:
+    if not skip_fast and _remaining() > reps * dt_solve / 2 + 60:
+        dt_fast = bench_tpu(vol, make_cfg("compose", "bfloat16", True), reps)
+        rate_f = voxels / dt_fast / 1e6
+        result["fast"] = {
+            "tap_flow": "compose", "precision": "bfloat16",
+            "symmetric_adjacent": True,
+            "value": round(rate_f, 3),
+            "tpu_seconds": round(dt_fast, 3),
+            "vs_baseline": round(rate_f / cpu_rate, 2) if cpu_rate else None,
+        }
         bpv_fast = hbm_model_bytes_per_voxel(ks2, 3, "compose", "bfloat16")
-        ach_f = voxels * bpv_fast / fast["tpu_seconds"] / 1e9
-        roofline.update({
+        ach_f = voxels * bpv_fast / dt_fast / 1e9
+        result["roofline"].update({
             "hbm_model_bytes_per_voxel_fast": round(bpv_fast, 1),
             "achieved_GBps_fast": round(ach_f, 1),
             "hbm_roofline_pct_fast": round(100.0 * ach_f / V5E_HBM_GBPS, 1),
         })
+        done.append("fast")
+    elif not skip_fast:
+        skipped.append("fast")
 
-    result = {
-        "metric": f"OF denoise throughput, {size}^3, REFERENCE-PARITY mode "
-                  f"(per-tap solve, f32), sigma=2 (17 taps/axis), "
-                  f"levels={levels}, winsize={winsize}",
-        "value": round(solve_rate, 3),
-        "unit": "Mvoxel/s",
-        "vs_baseline": round(solve_rate / cpu_rate, 2) if cpu_rate else None,
-        "tpu_seconds": round(dt_solve, 3),
-        "cpu_reference_Mvoxel_s": round(cpu_rate, 4) if cpu_rate else None,
-        "cpu_baseline_note": "cv2 reference measured on 1 core of this host "
-                             f"over {baseline_z} slices; multicore figures in "
-                             "BASELINE.md assume linear thread scaling "
-                             "(host has a single core)",
-        "presmooth": presmooth,
-        "fast": fast,
-        "roofline": roofline,
-    }
-    print(json.dumps(result))
+    result["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+    emit(result)
 
 
 if __name__ == "__main__":

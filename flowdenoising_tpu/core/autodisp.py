@@ -19,9 +19,11 @@ probe therefore
   distance the filter uses (ks2 = kernel_len // 2; per-tap flow grows with
   tap distance, so distance-ks2 pairs bound every tap) and at distance 1
   (bounding the compose modes' ``adjacent_displacement``),
-- downsamples the planes (INTER_AREA) so the longest extent is
-  ``probe_extent`` px -- the probe costs ~nothing, plane noise is averaged
-  down, and large motions shrink into the pyramid's capture range,
+- resizes the planes (INTER_AREA) to the FIXED ``probe_extent`` square --
+  the probe costs ~nothing, plane noise is averaged down, large motions
+  shrink into the pyramid's capture range, and every volume/axis shares one
+  compiled probe program (per-axis scale factors map ladder bounds in
+  full-res pixels onto probe-res flow components),
 - solves unbounded Farneback (exact-gather path, ``max_displacement=None``)
   at probe scale, and
 - picks the smallest ladder D whose component-clamped flow warps the
@@ -36,6 +38,7 @@ don't pay a remote-TPU compile for a throwaway 128-px program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 
 import numpy as np
@@ -59,54 +62,114 @@ _UNTRACKED_FRAC = 0.9
 
 
 def _probe_pairs(vol: np.ndarray, distance: int, n_pairs: int):
-    """(targets, references) stacks of ``n_pairs`` plane pairs at the given
-    slice distance along axis 0, evenly spaced."""
+    """(targets, references) stacks of EXACTLY ``n_pairs`` plane pairs at
+    the given slice distance along axis 0, evenly spaced (duplicates kept on
+    tiny axes so every probe group has the same leading dim -- one compiled
+    probe shape serves all volumes)."""
     n = vol.shape[0]
     distance = min(distance, n - 1)
-    starts = np.unique(np.linspace(0, n - 1 - distance,
-                                   min(n_pairs, n - distance)).astype(int))
+    starts = np.linspace(0, n - 1 - distance, n_pairs).astype(int)
     tgt = np.stack([np.asarray(vol[z], dtype=np.float32) for z in starts])
     ref = np.stack([np.asarray(vol[z + distance], dtype=np.float32)
                     for z in starts])
     return tgt, ref
 
 
-def _clamp_cost_curve(tgt: np.ndarray, ref: np.ndarray, flow_cfg: FlowConfig,
-                      probe_extent: int, ladder: tuple[int, ...]):
-    """Mean-abs warp error of the component-clamped flow for each ladder D,
-    plus the unbounded flow's error.  Flow direction matches the per-tap
-    solve: target -> reference, then the reference is warped back."""
-    import jax.numpy as jnp
-    from flowdenoising_tpu.ops.farneback import farneback_flow
-    from flowdenoising_tpu.ops.resize import resize_area
-    from flowdenoising_tpu.ops.warp import warp_slices
-
-    h, w = tgt.shape[-2:]
-    scale = max(1.0, max(h, w) / probe_extent)
-    ph, pw = max(16, round(h / scale)), max(16, round(w / scale))
+def _probe_cfg(flow_cfg: FlowConfig) -> FlowConfig:
     # sampler="windowed": the probe may run on the host CPU backend while
     # the default platform is a TPU -- pallas_supported() keys off the
     # platform, so the "auto" sampler would route update_flow through a
     # Mosaic kernel the CPU backend cannot execute.  (Sampling itself takes
     # the exact-gather path regardless: max_displacement=None.)
-    probe_cfg = dataclasses.replace(
+    return dataclasses.replace(
         flow_cfg, max_displacement=None, precision="float32",
         dtype="float32", tap_mode="solve", use_initial_flow=False,
         sampler="windowed")
-    t = resize_area(jnp.asarray(tgt), (ph, pw))
-    r = resize_area(jnp.asarray(ref), (ph, pw))
-    flow = farneback_flow(r, t, probe_cfg)
 
-    def err(f):
-        return float(jnp.mean(jnp.abs(warp_slices(r, f) - t)))
 
+def _resize_group(tgt: np.ndarray, ref: np.ndarray, probe_extent: int):
+    """Resize one probe group's plane stacks to the FIXED square probe
+    shape -- on the HOST (two tiny matmuls with the OpenCV-convention area
+    weights; no per-geometry XLA compile).  Returns (t, r, su, sv) with the
+    per-axis full-res-px / probe-px scale factors.  Small axes are upscaled
+    (area weights degenerate to bilinear); every volume and axis thus maps
+    onto ONE probe geometry."""
+    from flowdenoising_tpu.ops.resize import area_resize_matrix
+
+    e = probe_extent
+    h, w = tgt.shape[-2:]
+    wr = area_resize_matrix(h, e)
+    wc = area_resize_matrix(w, e)
+
+    def rs(x):
+        return np.einsum("eh,nhw,fw->nef", wr,
+                         np.asarray(x, np.float64), wc,
+                         optimize=True).astype(np.float32)
+
+    return rs(tgt), rs(ref), w / e, h / e
+
+
+@functools.lru_cache(maxsize=8)
+def _probe_program(flow_cfg: FlowConfig, n_groups: int, n_pairs: int,
+                   extent: int, n_ladder: int):
+    """ONE jitted program computing the whole probe for a fixed geometry:
+    batched unbounded Farneback solve over all groups' plane pairs, then
+    per-group mean-abs warp error at every ladder bound, the unbounded
+    flow's error, and the identity-warp error.
+
+    A single program means a single XLA compile that the persistent
+    compilation cache stores (CPU-backend executables persist too --
+    verified on this host: 12 s cold / 1 s cached).  The round-3 probe was
+    built from dozens of sub-0.5 s eager ops per plane geometry -- below
+    the cache's persistence threshold, so EVERY process re-paid ~20 s of
+    compiles; this is the fix for that first-call cost.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flowdenoising_tpu.ops.farneback import farneback_flow
+    from flowdenoising_tpu.ops.warp import warp_slices
+
+    pcfg = _probe_cfg(flow_cfg)
+
+    def group_mean(x):
+        return jnp.mean(jnp.abs(x).reshape(n_groups, -1), axis=1)
+
+    @jax.jit
+    def run(t, r, bounds):
+        # t, r: (n_groups*n_pairs, extent, extent) float32
+        # bounds: (n_groups, n_ladder, 2) clamp bounds in PROBE-res pixels
+        flow = farneback_flow(r, t, pcfg)
+
+        def one_level(bl):  # bl: (n_groups, 2) -> per-group errors
+            b = jnp.repeat(bl, n_pairs, axis=0)[:, None, None, :]
+            return group_mean(warp_slices(r, jnp.clip(flow, -b, b)) - t)
+
+        errs = jax.lax.map(one_level, jnp.moveaxis(bounds, 1, 0))  # (L, G)
+        base = group_mean(warp_slices(r, flow) - t)
+        ident = group_mean(r - t)
+        return errs.T, base, ident
+
+    return run
+
+
+def _run_probe(groups_resized, ladders, flow_cfg: FlowConfig, extent: int):
+    """Execute the fixed-shape probe program over the resized groups.
+
+    groups_resized: list of (t, r, su, sv); ladders: per-group D tuples
+    (full-res pixels).  Returns per-group (curve, base, ident) floats."""
+    n_groups = len(groups_resized)
+    n_pairs = groups_resized[0][0].shape[0]
+    n_ladder = len(ladders[0])
+    t_all = np.concatenate([t for t, _, _, _ in groups_resized])
+    r_all = np.concatenate([r for _, r, _, _ in groups_resized])
     # D is in full-res pixels; flow components are in probe-res pixels.
-    su, sv = w / pw, h / ph
-    curve = [err(jnp.stack([jnp.clip(flow[..., 0], -d / su, d / su),
-                            jnp.clip(flow[..., 1], -d / sv, d / sv)], axis=-1))
-             for d in ladder]
-    ident = float(jnp.mean(jnp.abs(r - t)))
-    return curve, err(flow), ident
+    bounds = np.asarray([[[d / su, d / sv] for d in lad]
+                         for lad, (_, _, su, sv) in zip(ladders, groups_resized)],
+                        np.float32)
+    prog = _probe_program(flow_cfg, n_groups, n_pairs, extent, n_ladder)
+    errs, base, ident = (np.asarray(x) for x in prog(t_all, r_all, bounds))
+    return [(errs[i].tolist(), float(base[i]), float(ident[i]))
+            for i in range(n_groups)]
 
 
 def _pick_bound(costs_by_axis, base_by_axis, ladder, label) -> int:
@@ -129,6 +192,14 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
 
     ``vol`` may be any array-like with numpy slicing (ndarray or np.memmap
     in stored dtype); only ~``3 axes * 2 * _N_PAIRS`` planes are touched.
+
+    Cost shape: all probe groups (axis x tap-distance) are resized to ONE
+    fixed (probe_extent^2) geometry and solved in ONE batched Farneback
+    call, so the first-call cost is a single compile of a single program
+    shape shared by every volume -- not one compile per plane geometry
+    (round-3 QUALITY.md measured an 18 s first probe from exactly those
+    per-shape compiles).  The 2x escalation re-solves one group at a time
+    at a second fixed shape.
     """
     import jax
 
@@ -142,44 +213,53 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
         # just means the probe runs on the default device
         cpu = None
 
-    def curves_at(tgt, ref, ladder, label):
-        """Clamp-cost curve with probe-extent escalation: the downsampled
-        probe's pyramid is clamped to ~2 levels, so motion it cannot track
-        leaves the unbounded warp error ~at the identity-warp error -- a
-        small-D pick from such a curve would be unfounded.  Re-probe at 2x
-        extent once; if the flow still barely beats the identity warp, flag
-        the axis so the pick is floored at the fixed default."""
-        curve, base, ident = _clamp_cost_curve(tgt, ref, cfg.flow,
-                                               probe_extent, ladder)
-        if base > _UNTRACKED_FRAC * ident:
-            curve, base, ident = _clamp_cost_curve(tgt, ref, cfg.flow,
-                                                   2 * probe_extent, ladder)
-            if base > _UNTRACKED_FRAC * ident:
-                untrackable.append(label)
-        return curve, base
+    # Collect every probe group first (host-side slicing only).
+    groups = []  # (label, ladder, tgt_planes, ref_planes)
+    for axis in range(3):
+        ks2 = len(kernels[axis]) // 2
+        if ks2 == 0 or vol.shape[axis] < 2:
+            continue
+        v = np.moveaxis(np.asarray(vol), axis, 0) if axis else vol
+        dist_far = min(ks2, vol.shape[axis] - 1)
+        tgt, ref = _probe_pairs(v, dist_far, _N_PAIRS)
+        groups.append((f"axis{axis}/far", _D_LADDER, tgt, ref))
+        if dist_far > 1:
+            tgt, ref = _probe_pairs(v, 1, _N_PAIRS)
+        groups.append((f"axis{axis}/adj", _ADJ_LADDER, tgt, ref))
 
     def run():
-        for axis in range(3):
-            ks2 = len(kernels[axis]) // 2
-            if ks2 == 0 or vol.shape[axis] < 2:
-                continue
-            v = np.moveaxis(np.asarray(vol), axis, 0) if axis else vol
-            dist_far = min(ks2, vol.shape[axis] - 1)
-            tgt, ref = _probe_pairs(v, dist_far, _N_PAIRS)
-            curve, base = curves_at(tgt, ref, _D_LADDER, f"axis{axis}/far")
-            far_costs.append(curve)
-            far_base.append(base)
-            if dist_far > 1:
-                tgt, ref = _probe_pairs(v, 1, _N_PAIRS)
-            curve, base = curves_at(tgt, ref, _ADJ_LADDER, f"axis{axis}/adj")
-            adj_costs.append(curve)
-            adj_base.append(base)
+        resized = [_resize_group(tgt, ref, probe_extent)
+                   for _, _, tgt, ref in groups]
+        results = _run_probe(resized, [lad for _, lad, _, _ in groups],
+                             cfg.flow, probe_extent)
+        for (label, ladder, tgt, ref), (curve, base, ident) in zip(groups,
+                                                                   results):
+            if base > _UNTRACKED_FRAC * ident:
+                # Escalation: the downsampled probe's pyramid is clamped to
+                # ~2 levels, so motion it cannot track leaves the unbounded
+                # warp error ~at the identity-warp error -- a small-D pick
+                # from such a curve would be unfounded.  Re-probe this group
+                # at 2x extent (its own fixed single-group shape); if the
+                # flow still barely beats the identity warp, flag the axis
+                # so the pick is floored at the fixed default.
+                (curve, base, ident), = _run_probe(
+                    [_resize_group(tgt, ref, 2 * probe_extent)], [ladder],
+                    cfg.flow, 2 * probe_extent)
+                if base > _UNTRACKED_FRAC * ident:
+                    untrackable.append(label)
+            if label.endswith("/far"):
+                far_costs.append(curve)
+                far_base.append(base)
+            else:
+                adj_costs.append(curve)
+                adj_base.append(base)
 
-    if cpu is not None:
-        with jax.default_device(cpu):
+    if groups:
+        if cpu is not None:
+            with jax.default_device(cpu):
+                run()
+        else:
             run()
-    else:
-        run()
 
     if not far_costs:
         return (cfg.flow.max_displacement or _D_LADDER[1],

@@ -222,6 +222,21 @@ def gaussian_denoise(vol: jnp.ndarray, sigma=(2.0, 2.0, 2.0),
     return out
 
 
+def _sync_result(x):
+    """Real synchronization point for :func:`denoise_many`'s in-flight
+    window: a scalar fetch completes only after the producing computation.
+
+    ``block_until_ready`` does NOT block on some remote PJRT transports
+    (observed on this machine's tunneled TPU), which silently disabled the
+    window's backpressure -- every volume dispatched at once and deferred
+    deallocations piled up (the 8.2 -> 71 s/vol batch decay in BASELINE.md).
+    Module-level so tests can assert the window actually syncs
+    (tests/test_batch.py backpressure regression test).
+    """
+    if isinstance(x, jax.Array):
+        float(np.asarray(x[(0,) * x.ndim]))
+
+
 def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
                  window: int = 2, to_host: bool = False):
     """Throughput mode: denoise a stream of equally-shaped volumes.
@@ -253,16 +268,7 @@ def denoise_many(vols, cfg: FilterConfig = FilterConfig(), kernels=None,
     import concurrent.futures
     import itertools
 
-    def _sync(x):
-        # Real synchronization point: a scalar fetch completes only after
-        # the producing computation.  block_until_ready does NOT block on
-        # some remote PJRT transports (observed on this machine's tunneled
-        # TPU), which silently disabled the window's backpressure -- every
-        # volume dispatched at once and deferred deallocations piled up
-        # (the 8.2 -> 71 s/vol batch decay in BASELINE.md).
-        if isinstance(x, jax.Array):
-            float(np.asarray(x[(0,) * x.ndim]))
-
+    _sync = _sync_result
     it = iter(vols)
     staged = collections.deque()
 

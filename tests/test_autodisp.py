@@ -88,15 +88,18 @@ def test_adjacent_floor_independent_of_far(monkeypatch):
     import flowdenoising_tpu.core.autodisp as A
     from flowdenoising_tpu.config import FilterConfig
 
-    def fake_curve(tgt, ref, flow_cfg, probe_extent, ladder):
-        if ladder == A._D_LADDER:
-            # trackable far curve whose smallest lossless pick is D=8
-            curve = [2.0, 2.0] + [1.0] * (len(ladder) - 2)
-            return curve, 1.0, 10.0
-        # adjacent: flow barely beats identity -> untrackable
-        return [9.6] * len(ladder), 9.6, 10.0
+    def fake_run_probe(resized, ladders, flow_cfg, extent):
+        out = []
+        for lad in ladders:
+            if tuple(lad) == A._D_LADDER:
+                # trackable far curve whose smallest lossless pick is D=8
+                out.append(([2.0, 2.0] + [1.0] * (len(lad) - 2), 1.0, 10.0))
+            else:
+                # adjacent: flow barely beats identity -> untrackable
+                out.append(([9.6] * len(lad), 9.6, 10.0))
+        return out
 
-    monkeypatch.setattr(A, "_clamp_cost_curve", fake_curve)
+    monkeypatch.setattr(A, "_run_probe", fake_run_probe)
     vol = make_blob_volume(12, 32, 32, seed=44)
     max_d, adj_d = A.probe_displacement(vol, FilterConfig())
     assert max_d == 8
