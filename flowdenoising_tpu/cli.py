@@ -96,7 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one Farneback solve per tap pair); 'compose' = solve "
                         "adjacent pairs only and chain flow fields (~8x fewer "
                         "solves); 'compose_refine' adds one full-res Farneback "
-                        "iteration per tap")
+                        "iteration per tap (NOT recommended: measured at or "
+                        "below plain compose on every quality tier at ~2x its "
+                        "cost -- see QUALITY.md)")
     p.add_argument("--max_displacement", type=int_or_str, default=None,
                    help="Per-tap flow sampling bound in pixels; motions "
                         "beyond it are clamped during sampling.  Default "

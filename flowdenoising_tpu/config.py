@@ -91,6 +91,19 @@ class FlowConfig:
     # motion (error O(|a|^2 * flow gradient)); quality impact measured in
     # QUALITY.md.
     symmetric_adjacent: bool = False
+    # compose_refine only: trust-region bound (pixels) on the correction the
+    # full-resolution re-anchor iteration may apply to the composed flow;
+    # 0 disables the clip.  A measured clip ladder (scripts/refine_ab.py,
+    # 0/0.5/0.75/1.5 px and 2 iterations, all QUALITY tiers) found NO
+    # setting that lifts compose_refine to >= plain compose everywhere --
+    # the level-0 re-solve's correction direction is noise-driven, and
+    # clipping only shrinks both its rare wins (<= +0.1 dB, membranes
+    # n>=30) and its losses (up to -0.24 dB, blobs).  The mode is therefore
+    # NOT RECOMMENDED (kept for API compatibility; QUALITY.md documents the
+    # measurements); the default 0 preserves its best-measured behavior.
+    refine_clip: float = 0.0
+    # compose_refine only: number of re-anchor iterations per tap.
+    refine_iters: int = 1
     # Estimate flows from a lightly Gaussian-pre-smoothed copy of the
     # operands (sigma in pixels, in-plane); the tap WARPS still sample the
     # raw volume.  On noisy inputs the per-pixel flow NOISE (std ~1.4 px on

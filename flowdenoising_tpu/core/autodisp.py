@@ -26,10 +26,10 @@ probe therefore
   full-res pixels onto probe-res flow components),
 - solves unbounded Farneback (exact-gather path, ``max_displacement=None``)
   at probe scale, and
-- picks the smallest ladder D whose component-clamped flow warps the
-  reference onto the target within ``_TOL`` of the unbounded flow's warp
-  error -- i.e. the smallest bound that does not lose motions the estimator
-  can genuinely track.
+- picks the smallest ladder D whose component-clamped flow keeps the warp
+  error within ``_BENEFIT_TOL`` of the unbounded flow's TRACKING BENEFIT
+  (identity-warp error minus unbounded-warp error) -- i.e. the smallest
+  bound that does not lose motions the estimator can genuinely track.
 
 The probe runs on the host CPU backend when one is available so CLI runs
 don't pay a remote-TPU compile for a throwaway 128-px program.
@@ -48,12 +48,18 @@ from flowdenoising_tpu.kernels import get_gaussian_kernels
 
 # Displacement ladders: small enough steps that the chosen bound stays
 # close to the need, few enough that compile variants stay bounded.
-_D_LADDER = (4, 6, 8, 12, 16, 24, 32)
-_ADJ_LADDER = (2, 3, 4, 6, 8, 12, 16)
-# Accepted relative increase of the clamped warp's mean abs error over the
-# unbounded warp's (calibration in tests/test_autodisp.py: calm volumes sit
-# ~1e-3 above, coherent large drifts sit 2-10x above until D covers them).
-_TOL = 0.05
+_D_LADDER = (4, 6, 8, 12, 16, 24, 32, 48)
+_ADJ_LADDER = (2, 3, 4, 6, 8, 12, 16, 24)
+# Accepted clamp cost as a fraction of the flow's TRACKING BENEFIT
+# (identity-warp error minus unbounded-warp error).  Normalizing by the
+# benefit, not the base error, is what makes the probe sensitive: the base
+# error is dominated by the noise/resampling floor, so localized clamping
+# loss (a few fast filaments) vanishes inside a base-relative tolerance --
+# that mis-sizing cost 0.4-0.6 dB on the round-3 membranes tiers
+# (scripts/disp_decompose.py: D=8 -0.64 dB vs cv2, D=32 -0.04 dB,
+# unbounded 0.00 dB -- the whole parity gap was clamping).  2% of the
+# benefit picks D=24-32 there while calm axes still accept the smallest D.
+_BENEFIT_TOL = 0.02
 _N_PAIRS = 4   # probed slice pairs per axis per distance
 # The probe's flow is "tracking" only when its warp error clearly beats the
 # identity warp; above this fraction the clamp-cost curve is uninformative
@@ -172,11 +178,15 @@ def _run_probe(groups_resized, ladders, flow_cfg: FlowConfig, extent: int):
             for i in range(n_groups)]
 
 
-def _pick_bound(costs_by_axis, base_by_axis, ladder, label) -> int:
-    """Smallest ladder D acceptable on EVERY probed axis."""
+def _pick_bound(costs_by_axis, stats_by_axis, ladder, label) -> int:
+    """Smallest ladder D acceptable on EVERY probed axis: clamp cost
+    (curve - base) within ``_BENEFIT_TOL`` of that axis's tracking benefit
+    (ident - base).  Axes whose flow does not beat the identity warp have
+    ~zero benefit; they accept any D whose clamp does not add error (and
+    are floored separately via the untrackable list)."""
     for i, d in enumerate(ladder):
-        if all(c[i] <= b * (1.0 + _TOL) + 1e-6
-               for c, b in zip(costs_by_axis, base_by_axis)):
+        if all(c[i] - b <= _BENEFIT_TOL * max(ident - b, 0.0) + 1e-6
+               for c, (b, ident) in zip(costs_by_axis, stats_by_axis)):
             return d
     logging.warning(
         f"auto {label}: even D={ladder[-1]} clamps motion the flow tracks "
@@ -204,7 +214,7 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
     import jax
 
     kernels = get_gaussian_kernels(cfg.sigma)
-    far_costs, far_base, adj_costs, adj_base = [], [], [], []
+    far_costs, far_stats, adj_costs, adj_stats = [], [], [], []
     untrackable = []
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -249,10 +259,10 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
                     untrackable.append(label)
             if label.endswith("/far"):
                 far_costs.append(curve)
-                far_base.append(base)
+                far_stats.append((base, ident))
             else:
                 adj_costs.append(curve)
-                adj_base.append(base)
+                adj_stats.append((base, ident))
 
     if groups:
         if cpu is not None:
@@ -264,8 +274,8 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
     if not far_costs:
         return (cfg.flow.max_displacement or _D_LADDER[1],
                 cfg.flow.adjacent_displacement or _ADJ_LADDER[2])
-    max_d = _pick_bound(far_costs, far_base, _D_LADDER, "max_displacement")
-    adj_d = min(max_d, _pick_bound(adj_costs, adj_base, _ADJ_LADDER,
+    max_d = _pick_bound(far_costs, far_stats, _D_LADDER, "max_displacement")
+    adj_d = min(max_d, _pick_bound(adj_costs, adj_stats, _ADJ_LADDER,
                                    "adjacent_displacement"))
     if untrackable:
         # Probe could not distinguish bounds on these curves; never pick a

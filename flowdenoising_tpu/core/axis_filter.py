@@ -350,9 +350,26 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
                 flow = flow + jnp.moveaxis(warped_link, -3, -1)
                 if refine:
                     r1s = jax.lax.dynamic_slice_in_dim(r_full, start, n, axis=0)
-                    m = update_matrices(r0_int, r1s, flow, d0,
-                                        flow_cfg.sampler, packed=packed)
-                    flow = update_flow(m, flow_cfg.winsize, flow_cfg.sampler)
+                    # Trust-region re-anchor: the composed flow's error is
+                    # the accumulated composition drift -- sub-pixel per
+                    # chain step -- so the full-res iteration's correction
+                    # is CLIPPED to refine_clip pixels.  An unclipped
+                    # level-0 re-solve replaces a chain-smoothed estimate
+                    # with one driven by noisy full-res polynomial
+                    # coefficients, which measurably LOWERED quality vs
+                    # plain compose (round-3 QUALITY.md); clipping keeps
+                    # the sub-pixel polish and rejects the noise jumps.
+                    for _ in range(flow_cfg.refine_iters):
+                        m = update_matrices(r0_int, r1s, flow, d0,
+                                            flow_cfg.sampler, packed=packed)
+                        new = update_flow(m, flow_cfg.winsize,
+                                          flow_cfg.sampler)
+                        if flow_cfg.refine_clip > 0:
+                            flow = flow + jnp.clip(new - flow,
+                                                   -flow_cfg.refine_clip,
+                                                   flow_cfg.refine_clip)
+                        else:
+                            flow = new
                 flow = flow.astype(dtype)
                 warped = warp_slices(neighbor, flow, d, flow_cfg.sampler)
                 acc = acc + (warped * weight).astype(dtype)

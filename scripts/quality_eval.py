@@ -99,6 +99,8 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
 
     configs = [
         ("tpu f32 solve (parity mode)", dict()),
+        ("tpu f32 solve unbounded (--max_displacement 0)",
+         dict(max_displacement=None)),
         ("tpu f32 solve presmooth=1.5", dict(presmooth=1.5)),
         ("tpu f32 solve presmooth=2.5", dict(presmooth=2.5)),
         ("tpu f32 compose", dict(tap_mode="compose")),
@@ -197,6 +199,23 @@ def main():
         "boundary, seeded flow chaining -- the reference main-CLI defaults.  "
         "Reference = cv2-based oracle (tests/ref_pipeline.py), bit-matching "
         "the reference algorithm's semantics.",
+        "",
+        "Round-4 findings baked into these tables:",
+        "",
+        "- **The membranes parity gap was 100% displacement clamping, not an "
+        "algorithm mismatch**: the `unbounded (--max_displacement 0)` row "
+        "matches the cv2 oracle to 74-82 dB cross-PSNR and identical "
+        "PSNR-vs-clean on every membranes tier (full D ladder: "
+        "scripts/disp_decompose.py; D=32 is within 0.04 dB of unbounded at "
+        "~1/70th its cost).  `--max_displacement auto` now sizes the bound "
+        "from clamp-cost curves normalized by the flow's tracking benefit "
+        "(core/autodisp.py), picking D=24-32 on these volumes.",
+        "- **compose_refine is NOT recommended**: a measured trust-region "
+        "ladder (scripts/refine_ab.py: clip 0/0.5/0.75/1.5 px, 1-2 "
+        "iterations) found no setting that lifts it to >= plain compose "
+        "everywhere; its correction direction is noise-driven.  Best case "
+        "+0.1 dB (membranes n60), worst -0.24 dB (blobs n60), at ~2x "
+        "compose's cost.  Kept for API compatibility only.",
     ]
     for pattern in args.patterns:
         eval_tier(pattern, args.n, args.hw, args.noises, args.sigma,
