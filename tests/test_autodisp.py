@@ -68,6 +68,7 @@ def test_cli_accepts_auto_and_rejects_garbage(tmp_path):
               "--max_displacement", "bogus"])
 
 
+@pytest.mark.slow
 def test_cli_auto_end_to_end(tmp_path):
     from flowdenoising_tpu.cli import main
     from flowdenoising_tpu.io.volume import read_volume, write_volume

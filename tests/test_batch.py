@@ -1,12 +1,14 @@
 """Throughput mode: batched multi-volume denoise equals per-volume calls."""
 
 import numpy as np
+import pytest
 
 from conftest import make_blob_volume
 from flowdenoising_tpu.config import Boundary, FilterConfig, FlowConfig
 from flowdenoising_tpu.core.pipeline import denoise, denoise_many
 
 
+@pytest.mark.slow
 def test_denoise_many_matches_singles():
     cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=Boundary.WRAP,
                        flow=FlowConfig(levels=0, winsize=5))
@@ -17,6 +19,7 @@ def test_denoise_many_matches_singles():
         np.testing.assert_allclose(np.asarray(out), single, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_denoise_many_streams_generator():
     """Lazy iterable input: volumes are staged as consumed, not upfront,
     and the pre-staged (owned, donated) path matches per-volume calls."""

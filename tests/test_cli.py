@@ -2,6 +2,7 @@
 volumes instead of downloads)."""
 
 import numpy as np
+import pytest
 
 from conftest import make_blob_volume
 from flowdenoising_tpu.cli import main, build_parser
@@ -52,6 +53,7 @@ def test_cli_no_of_mrc_roundtrip(tmp_path):
     assert out.std() < vol.std()
 
 
+@pytest.mark.slow
 def test_cli_of_tiff(tmp_path):
     vol = make_blob_volume(6, 32, 32, seed=12)
     src = tmp_path / "in.tif"
@@ -64,6 +66,7 @@ def test_cli_of_tiff(tmp_path):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_cli_fast_modes(tmp_path):
     vol = make_blob_volume(6, 32, 32, seed=13)
     src = tmp_path / "in.tif"
@@ -78,6 +81,7 @@ def test_cli_fast_modes(tmp_path):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_cli_max_displacement(tmp_path):
     # --max_displacement reaches FlowConfig; 0 selects the unbounded
     # exact-gather sampling path (max_displacement=None).  The CLI default

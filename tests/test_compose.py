@@ -31,6 +31,7 @@ def _cfg(tap_mode, sigma=1.0, levels=1):
                         tap_mode=tap_mode))
 
 
+@pytest.mark.slow
 def test_adjacent_only_kernel_is_exact():
     # sigma small enough that the Gaussian kernel has ks2 == 1: every tap is
     # adjacent, where composition degenerates to the very same solve.
@@ -47,6 +48,7 @@ def test_adjacent_only_kernel_is_exact():
 
 
 @pytest.mark.parametrize("tap_mode", ["compose", "compose_refine"])
+@pytest.mark.slow
 def test_composed_close_to_solve(tap_mode):
     vol = make_blob_volume(12, 40, 40, seed=3, drift=0.5)
     ref = np.asarray(denoise(vol, _cfg("solve")))
@@ -58,6 +60,7 @@ def test_composed_close_to_solve(tap_mode):
     assert p > 35, p
 
 
+@pytest.mark.slow
 def test_refine_denoises_as_well_as_compose():
     # Refine is a different flow estimate, not a step toward solve-mode
     # output (its extra iteration changes even adjacent taps), so it is
@@ -84,6 +87,7 @@ def test_composed_denoises():
     assert err_out < 0.5 * err_in, (err_out, err_in)
 
 
+@pytest.mark.slow
 def test_symmetric_adjacent_close():
     # Negated-forward backward links stay close to the two-solve compose
     # output in the small-motion regime.

@@ -66,6 +66,7 @@ def test_seeded_with_nonzero_prior():
     assert err.max() < 2e-3
 
 
+@pytest.mark.slow
 def test_batched_matches_single():
     img0a, img1a = _pair(seed=4)
     img0b, img1b = _pair(seed=5, dy=0, dx=2)

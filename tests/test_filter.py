@@ -46,7 +46,7 @@ def test_gaussian_denoise_wrap_full():
     np.testing.assert_allclose(ours, ref, atol=5e-3)
 
 
-@pytest.mark.parametrize("seeded", [True, False])
+@pytest.mark.parametrize("seeded", [True, pytest.param(False, marks=pytest.mark.slow)])
 def test_of_pass_wrap_matches_reference(seeded):
     vol = _vol()
     k = get_gaussian_kernel(SIGMA)
@@ -58,6 +58,7 @@ def test_of_pass_wrap_matches_reference(seeded):
     assert err.mean() < TOL_MEAN, err.mean()
 
 
+@pytest.mark.slow
 def test_of_pass_meanpad_matches_sequential():
     vol = _vol()
     k = get_gaussian_kernel(SIGMA)
@@ -70,6 +71,7 @@ def test_of_pass_meanpad_matches_sequential():
     assert err.mean() < TOL_MEAN
 
 
+@pytest.mark.slow
 def test_full_denoise_wrap_matches_reference_exact():
     # max_displacement=None: exact gather sampling, strict parity (wrap
     # boundary pairs unrelated far-apart slices, so flows exceed any bound)
@@ -83,6 +85,7 @@ def test_full_denoise_wrap_matches_reference_exact():
     assert np.abs(ours - ref).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_full_denoise_wrap_windowed_default_close():
     # Default windowed sampling (max_displacement=8): identical except where
     # wrap-boundary flows exceed the bound; quality-level agreement required.
@@ -95,6 +98,7 @@ def test_full_denoise_wrap_windowed_default_close():
     assert R.psnr(ours, ref) > 50, R.psnr(ours, ref)
 
 
+@pytest.mark.slow
 def test_full_denoise_meanpad_matches_sequential():
     vol = make_blob_volume(10, 32, 36, seed=3)
     ks = get_gaussian_kernels((SIGMA,) * 3)
@@ -105,6 +109,7 @@ def test_full_denoise_meanpad_matches_sequential():
     assert R.psnr(ours, ref) > 55, R.psnr(ours, ref)
 
 
+@pytest.mark.slow
 def test_anisotropic_sigma_matches_reference():
     # BASELINE.json config 3: sigma_z != sigma_y != sigma_x -- per-axis tap
     # counts differ (0.5 -> 5 taps, 1.0 -> 9) and each pass must pick ITS
@@ -130,6 +135,7 @@ def test_anisotropic_sigma_gaussian_matches_reference():
     np.testing.assert_allclose(ours, ref, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_slab_mode_identical():
     vol = make_blob_volume(12, 32, 32, seed=4)
     cfg_full = FilterConfig(sigma=(SIGMA,) * 3, flow=FlowConfig(levels=0, winsize=W))
@@ -165,6 +171,7 @@ def test_donated_pass_preserves_caller_array():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_donated_slab_solve_pipeline_large_ci():
     # Largest CI-able donated slab run in solve mode with a real pyramid:
     # exercises the exact per-pass program shape (padded stack build ->
@@ -191,6 +198,7 @@ def test_tiny_axis_wrap_kernel_longer_than_axis():
     np.testing.assert_allclose(ours, ref, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_tiny_axis_of_wrap_kernel_longer_than_axis():
     vol = make_blob_volume(4, 36, 40, seed=4)
     k = get_gaussian_kernel(2.0)
@@ -202,6 +210,7 @@ def test_tiny_axis_of_wrap_kernel_longer_than_axis():
     assert err.mean() < TOL_MEAN, err.mean()
 
 
+@pytest.mark.slow
 def test_presmooth_zero_is_noop():
     # presmooth=0 must take the exact reference-operand path (same program)
     vol = make_blob_volume(8, 24, 24, seed=31) + \
@@ -216,6 +225,7 @@ def test_presmooth_zero_is_noop():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_presmooth_estimation_only():
     """Flows from pre-smoothed operands, warps from the raw volume: the
     output stays close to the exact-operand pipeline on noisy data (flow

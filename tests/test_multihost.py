@@ -55,7 +55,7 @@ def _run_workers(tmp_path, mode: str, timeout: float = 600.0):
     return np.concatenate([np.load(s) for s in shards], axis=0)
 
 
-@pytest.mark.parametrize("mode", ["gauss", "of"])
+@pytest.mark.parametrize("mode", ["gauss", pytest.param("of", marks=pytest.mark.slow)])
 def test_two_process_sharded_matches_single(tmp_path, mode):
     got = _run_workers(tmp_path, mode)
     vol = make_blob_volume(16, 24, 16, seed=21).astype(np.float32)
@@ -71,6 +71,7 @@ def test_two_process_sharded_matches_single(tmp_path, mode):
 
 
 @pytest.mark.parametrize("z", [16, 14])
+@pytest.mark.slow
 def test_two_process_cli_file_to_file(tmp_path, z):
     """The full distributed USER path: two CLI processes against one shared
     input MRC, each memory-map-reading only its Z shard

@@ -77,6 +77,7 @@ def test_packed_close_to_f32(dyn):
 
 
 @pytest.mark.parametrize("dyn", [False, True])
+@pytest.mark.slow
 def test_eo_matches_base_bitwise(dyn):
     # even/odd-deinterleaved sampling (default f32 path): same gathers in a
     # different layout, identical arithmetic -- must be bitwise-equal to the
@@ -131,6 +132,7 @@ def _prepped_scan(link_stack, nb_stack, vol, taps_w, starts, shifts, d,
 @pytest.mark.parametrize("kw", [dict(eo=True), dict(eo=False),
                                 dict(eo=True, dyn=True),
                                 dict(packed=True)])
+@pytest.mark.slow
 def test_prepped_matches_per_tap_chain(kw):
     # The prepped form (operands prepared once, per-tap kernels windowing
     # into the full stacks at traced offsets, lane-padded carry) must match
@@ -165,6 +167,7 @@ def test_prepped_matches_per_tap_chain(kw):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_prepped_tiled_matches_per_tap(monkeypatch):
     # forced multi-tile prepped run == untiled per-tap chain, bitwise
     import flowdenoising_tpu.ops.pallas.compose as C

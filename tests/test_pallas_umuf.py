@@ -95,6 +95,7 @@ def test_iterated_application_matches_level_loop():
 @pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("kw", [dict(), dict(dyn=True), dict(mxu=True),
                                 dict(dyn=True, mxu=True)])
+@pytest.mark.slow
 def test_umuf_iterate_matches_chained_calls(kw, fused):
     # The prepared-iteration API (prep hoisted out of the loop, flow kept
     # channel-first/lane-padded between iterations; with fused=True all
@@ -112,6 +113,7 @@ def test_umuf_iterate_matches_chained_calls(kw, fused):
 
 
 @pytest.mark.parametrize("fused", [True, False])
+@pytest.mark.slow
 def test_umuf_iterate_row_tiled(monkeypatch, fused):
     # Multi-tile iteration: per-tile flow slices are re-assembled between
     # iterations (fused=False) or carried in VMEM with an r*iters row
@@ -131,6 +133,7 @@ def test_umuf_iterate_row_tiled(monkeypatch, fused):
 
 
 @pytest.mark.parametrize("kw", [dict(), dict(dyn=True, mxu=True)])
+@pytest.mark.slow
 def test_umuf_fused_iters_tile_invariant_vs_unfused(monkeypatch, kw):
     # The fused in-kernel iteration under FORCED multi-tiling must equal the
     # unfused per-iteration programs bitwise: the r*iters halo argument.
@@ -151,6 +154,7 @@ def test_umuf_fused_iters_tile_invariant_vs_unfused(monkeypatch, kw):
         np.testing.assert_allclose(out, ref, atol=0)
 
 
+@pytest.mark.slow
 def test_xwin_matches_gather_path():
     # The static-shift-window sampling variant is mathematically identical
     # to the lane-gather path (bilinear hat decomposition); outputs must
@@ -162,6 +166,7 @@ def test_xwin_matches_gather_path():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_xwin_large_flow_clamp():
     R0, R1, flow = _setup(b=1, h=20, w=36, seed=9, flow_scale=6.0)
     ref = np.asarray(U.umuf_pallas(R0, R1, flow, 3, 5, interpret=True))
@@ -178,6 +183,7 @@ def test_xwin_large_flow_clamp():
                                 dict(dyn=True, eo=True),
                                 dict(dyn=True, rg=8, eo=True),
                                 dict(dyn=True, mxu=True, rg=16, eo=True)])
+@pytest.mark.slow
 def test_dyn_mxu_match_base(kw):
     # dyn must be bitwise-identical (same gathers, dynamic trip count);
     # eo gathers the same values from deinterleaved planes (also bitwise);
@@ -189,6 +195,7 @@ def test_dyn_mxu_match_base(kw):
     np.testing.assert_allclose(out, base, atol=tol)
 
 
+@pytest.mark.slow
 def test_dyn_mxu_row_tiling_exact(monkeypatch):
     # Multi-tile execution with per-tile Bh matrices must be tile-invariant.
     R0, R1, flow = _setup(b=1, h=48, w=40, seed=12)
@@ -220,6 +227,7 @@ def _stack_setup(B=10, h=20, w=36, seed=21, flow_scale=2.0):
                                 dict(dyn=True, mxu=True, rg=8),
                                 dict(dyn=True, mxu=True, rg=8, eo=True)])
 @pytest.mark.parametrize("start,w", [(0, 36), (3, 36), (3, 128)])
+@pytest.mark.slow
 def test_prepped_window_matches_umuf_iterate(kw, start, w):
     # umuf_iterate_prepped windowing into the FULL stack operand at a traced
     # offset must equal umuf_iterate on the materialized window -- across
@@ -246,6 +254,7 @@ def test_prepped_window_matches_umuf_iterate(kw, start, w):
     np.testing.assert_allclose(out, ref, atol=0)
 
 
+@pytest.mark.slow
 def test_prepped_window_row_tiled(monkeypatch):
     # Forced multi-tile prep: per-tile full-stack row slices + traced batch
     # window must be tile-invariant.
@@ -275,6 +284,7 @@ def test_prepped_window_row_tiled(monkeypatch):
 
 
 @pytest.mark.parametrize("seeded", [True, False])
+@pytest.mark.slow
 def test_prepped_tap_solver_matches_flow_from_pyramids(seeded):
     # Full coarse-to-fine parity: the per-pass prepped solver (channel-first
     # pyramids, hoisted prep, traced reference window) vs flow_from_pyramids

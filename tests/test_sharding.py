@@ -28,6 +28,7 @@ def test_usable_device_count():
     assert usable_device_count((3, 16, 16), 3, 8) == 4
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN])
 def test_sharded_divisible_axis_smaller_than_halo(boundary):
     # Regression: 10 slices over the usable 5 devices divide evenly into
@@ -56,6 +57,7 @@ def test_sharded_gaussian_matches_single(boundary):
 
 
 @pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN])
+@pytest.mark.slow
 def test_sharded_of_denoise_matches_single(boundary):
     vol = make_blob_volume(16, 24, 16, seed=8)
     cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=boundary,
@@ -67,6 +69,7 @@ def test_sharded_of_denoise_matches_single(boundary):
 
 
 @pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN])
+@pytest.mark.slow
 def test_sharded_slabbing_matches_single(boundary, monkeypatch):
     """HBM bounding on the sharded path: with a budget forcing per-shard
     slabs, each shard runs the slab scan inside shard_map and still equals
@@ -89,6 +92,7 @@ def test_sharded_slabbing_matches_single(boundary, monkeypatch):
     assert err.max() < 5e-3, err.max()
 
 
+@pytest.mark.slow
 def test_sharded_explicit_slab_size(monkeypatch):
     """cfg.slab_size is honored per-shard under shard_map."""
     vol = make_blob_volume(32, 24, 16, seed=16)
@@ -134,6 +138,7 @@ def test_sharded_gaussian_uneven_axes(boundary):
 
 
 @pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.MEAN])
+@pytest.mark.slow
 def test_sharded_of_uneven_axes(boundary):
     vol = make_blob_volume(11, 19, 17, seed=10)
     cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=boundary,
@@ -144,6 +149,7 @@ def test_sharded_of_uneven_axes(boundary):
     assert err.max() < 5e-3, err.max()
 
 
+@pytest.mark.slow
 def test_sharded_uneven_mixed_divisibility():
     # Z divisible by 8, Y/X not: per-pass paths differ within one run.
     vol = make_blob_volume(16, 21, 13, seed=11)
@@ -153,6 +159,7 @@ def test_sharded_uneven_mixed_divisibility():
     np.testing.assert_allclose(sharded, single, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_compose_matches_single():
     # Compose tap mode under shard_map: adjacent links are computed on each
     # shard's halo-extended local stack, so results must match the
@@ -167,6 +174,7 @@ def test_sharded_compose_matches_single():
     assert err.max() < 5e-3, err.max()
 
 
+@pytest.mark.slow
 def test_sharded_of_real_pyramid_matches_single():
     # Full multi-level pyramid under shard_map (min_size lowered so small CI
     # planes still build 3 levels): exercises the resize/halo interaction the
@@ -181,6 +189,7 @@ def test_sharded_of_real_pyramid_matches_single():
     assert err.max() < 5e-3, err.max()
 
 
+@pytest.mark.slow
 def test_sharded_bf16_matches_single():
     vol = make_blob_volume(16, 24, 16, seed=14)
     cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=Boundary.WRAP,
@@ -194,6 +203,7 @@ def test_sharded_bf16_matches_single():
     assert err.max() < 0.5, err.max()
 
 
+@pytest.mark.slow
 def test_sharded_compose_refine_symmetric_matches_single():
     vol = make_blob_volume(16, 24, 16, seed=15)
     cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=Boundary.WRAP,
@@ -206,6 +216,7 @@ def test_sharded_compose_refine_symmetric_matches_single():
     assert err.max() < 5e-3, err.max()
 
 
+@pytest.mark.slow
 def test_sharded_on_pass_and_resume():
     # Pass-boundary callbacks + resume on the sharded path (round 1 had the
     # checkpoint/sharding mutual exclusion; VERDICT weak #6).

@@ -17,7 +17,7 @@ def _vol(shape=(12, 24, 20), seed=3):
 
 
 @pytest.mark.parametrize("boundary", [Boundary.WRAP, Boundary.REPLICATE])
-@pytest.mark.parametrize("use_flow", [False, True])
+@pytest.mark.parametrize("use_flow", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_streamed_matches_in_memory(tmp_path, boundary, use_flow):
     vol = _vol()
     cfg = FilterConfig(sigma=(1.0, 1.0, 1.0), boundary=boundary,
@@ -96,6 +96,7 @@ def test_boundary_window_mean_fill():
     np.testing.assert_array_equal(w[-2:], np.full((2, 4, 4), 7.0))
 
 
+@pytest.mark.slow
 def test_streamed_solve_uses_eo_slab_model(tmp_path, monkeypatch, caplog):
     """The streamed pipeline must size solve-mode slabs with the SAME model
     as the in-memory pipeline -- including the eo sampling operand growth
