@@ -83,6 +83,28 @@ def test_cli_auto_end_to_end(tmp_path):
     assert np.all(np.isfinite(out))
 
 
+def test_pick_bound_normalizes_by_tracking_benefit():
+    """The round-3 regression this guards: a clamp cost that is tiny
+    relative to the noise-floored BASE error but large relative to the
+    tracking BENEFIT must push the pick up the ladder (membranes tiers:
+    base ~23, benefit ~8, clamp cost at D=12 ~1.6 -- 7% of base passed the
+    old base-relative 5% rule; 19% of benefit fails the 2% benefit rule)."""
+    import flowdenoising_tpu.core.autodisp as A
+
+    ladder = A._D_LADDER
+    base, ident = 23.0, 31.0  # benefit = 8
+    # clamp costs shaped like the measured membranes ax1/far curve
+    curve = [base + c for c in (4.3, 3.4, 2.5, 1.6, 1.1, 0.4, 0.09, 0.0)]
+    d = A._pick_bound([curve], [(base, ident)], ladder, "max_displacement")
+    assert d >= 32, d
+    # calm axis: flat curve accepts the smallest D
+    flat = [base] * len(ladder)
+    assert A._pick_bound([flat], [(base, ident)], ladder, "x") == ladder[0]
+    # untracked axis (no benefit): any non-degrading clamp is acceptable
+    assert A._pick_bound([[5.0] * len(ladder)], [(5.0, 5.0)], ladder,
+                         "x") == ladder[0]
+
+
 def test_adjacent_floor_independent_of_far(monkeypatch):
     """An uninformative ADJACENT probe must floor the adjacent pick even
     when the far curve is informative (and vice versa)."""
