@@ -37,6 +37,11 @@ from flowdenoising_tpu.kernels import get_gaussian_kernels
 
 AXIS = "z"
 
+# denoise_sharded's jitted pass programs, keyed by (devices, cfg, taps,
+# shape, start_pass) -- see the cache comment in denoise_sharded.
+_pass_fn_cache: dict = {}
+_PASS_FN_CACHE_CAP = 32
+
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devices = jax.devices() if devices is None else devices
@@ -214,14 +219,32 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
         mean_val = jnp.mean(vol)
     mv = jnp.asarray(0.0 if mean_val is None else mean_val, jnp.float32)
 
-    pass_fns = {}
-    for i, taps in enumerate(kernels):
-        if i < start_pass:
-            continue
-        fn = functools.partial(one_pass, pass_index=i, taps=taps)
-        if jit:
-            fn = jax.jit(fn, out_shardings=io_sharding)
-        pass_fns[i] = fn
+    # Jitted pass programs are cached by VALUE (mesh devices, config, taps,
+    # volume shape): without this every denoise_sharded call re-traced all
+    # three pass programs, which measured as a 17x slowdown over the plain
+    # pipeline on repeated 256^3 calls (scripts/sharded_overhead.py; the
+    # plain path has the same cache in pipeline._cached_pass).  Keyed on
+    # everything the closures capture; the mv/mean value stays a runtime
+    # argument.
+    cache_key = None
+    if jit:
+        cache_key = (tuple(d.id for d in mesh.devices.flat), cfg,
+                     tuple(tuple(np.asarray(t, np.float64)) for t in kernels),
+                     vol.shape, start_pass)
+    pass_fns = _pass_fn_cache.get(cache_key) if cache_key else None
+    if pass_fns is None:
+        pass_fns = {}
+        for i, taps in enumerate(kernels):
+            if i < start_pass:
+                continue
+            fn = functools.partial(one_pass, pass_index=i, taps=taps)
+            if jit:
+                fn = jax.jit(fn, out_shardings=io_sharding)
+            pass_fns[i] = fn
+        if cache_key is not None:
+            if len(_pass_fn_cache) >= _PASS_FN_CACHE_CAP:
+                _pass_fn_cache.pop(next(iter(_pass_fn_cache)))
+            _pass_fn_cache[cache_key] = pass_fns
 
     # size gate: each denoise_sharded call builds fresh pass closures, so
     # (unlike the pipeline's _warmed dedup) repeated small-volume calls
