@@ -140,9 +140,18 @@ def _cached_pass(taps_key: tuple, boundary: Boundary, flow_key, slab):
     return jax.jit(one_pass, donate_argnums=0)
 
 
+def _pad_factor(w: int, d: int) -> float:
+    """Reference-operand growth from the sampling edge pad (+lane padding
+    to the 128 boundary).  The 1.25 floor is the headline-calibrated D=8
+    figure; larger auto-picked displacement bounds (D=24-32 on fast-motion
+    data) pad the minor dim further and must shrink the slab accordingly."""
+    lanes = 128 * -(-(w + 2 * (d + 1)) // 128)
+    return max(1.25, lanes / w)
+
+
 def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool,
                tap_mode: str = "solve",
-               solve_eo: bool = False) -> int | None:
+               solve_eo: bool = False, d: int | None = 8) -> int | None:
     """Pick a slab size so a pass's working set stays within budget.
 
     The slab must come from the model, never rounded UP past it: a
@@ -152,10 +161,14 @@ def _auto_slab(n: int, h: int, w: int, ks2: int, use_flow: bool,
     """
     if not use_flow:
         return None
+    pf = _pad_factor(w, d if d is not None else 8) / 1.25
     if tap_mode == "solve":
         bpv = _BYTES_PER_VOXEL_EO if solve_eo else _BYTES_PER_VOXEL
     else:
         bpv = _BYTES_PER_VOXEL_COMPOSE
+    # scale only the reference-operand share (the pf-sensitive term)
+    bpv += 4 * 5 * 1.4 * 1.25 * (2.4 if (tap_mode == "solve" and solve_eo)
+                                 else 1.0) * (pf - 1.0)
     per_slice = h * w * bpv
     if (n + 2 * ks2) * per_slice <= _AUTO_SLAB_BUDGET:
         return None
@@ -179,7 +192,8 @@ def pass_slab(cfg: FilterConfig, n: int, h: int, w: int,
         return cfg.slab_size
     from flowdenoising_tpu.ops.farneback import _umuf_opts
     solve_eo = bool(_umuf_opts()["eo"]) and cfg.flow.precision != "bfloat16"
-    return _auto_slab(n, h, w, ks2, cfg.use_flow, cfg.flow.tap_mode, solve_eo)
+    return _auto_slab(n, h, w, ks2, cfg.use_flow, cfg.flow.tap_mode, solve_eo,
+                      cfg.flow.max_displacement)
 
 
 def _owned_f32(vol) -> jnp.ndarray:

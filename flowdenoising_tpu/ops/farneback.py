@@ -232,6 +232,15 @@ def _level_displacement(cfg: FlowConfig, level: int) -> int | None:
 # Pallas 2.3x SLOWER than XLA (1.13 vs 2.55 ms for 3 iterations, measured
 # on v5e); at 64^2 Pallas already wins 2x.
 _XLA_LEVEL_AREA = 2048
+# ... but only while the level displacement stays small: the XLA windowed
+# sampler enumerates (2d+2)^2 shifted terms, so its compute AND temp-buffer
+# footprint grow quadratically in d while the Pallas trip loop grows
+# linearly.  At the auto-displacement picks the membranes data needs
+# (D=24-32 -> d_k up to 13 at inner levels) the windowed lattice inside a
+# slab-scan while-body blew HBM (18.7 G requested on the 128x256x256
+# quality tier, 2026-08-21).  d_k <= 4 keeps the D=8 default on the
+# calibrated XLA path and routes large-displacement levels to Pallas.
+_XLA_LEVEL_MAX_D = 4
 
 
 def _small_level_iterate(r0, r1, flow, cfg: FlowConfig, d: int):
@@ -249,7 +258,7 @@ def _iterate_level(r0, r1, flow, cfg: FlowConfig, level: int = 0):
     of OpenCV's stripe-interleaved sweep; see module docstring)."""
     d = _level_displacement(cfg, level)
     packed = cfg.precision == "bfloat16"
-    if (d is not None
+    if (d is not None and d <= _XLA_LEVEL_MAX_D
             and r0.shape[-3] * r0.shape[-2] <= _XLA_LEVEL_AREA
             and cfg.sampler in ("auto", "pallas", "pallas_xwin")):
         return _small_level_iterate(r0, r1, flow, cfg, d)
@@ -412,7 +421,8 @@ def prepped_tap_solver(padded: jnp.ndarray, interior_start: int, n: int,
     for k, r in enumerate(r_levels):
         d_k = _level_displacement(cfg, k)
         hk, wk = sizes[k]
-        if hk * wk <= _XLA_LEVEL_AREA and d_k is not None:
+        if (hk * wk <= _XLA_LEVEL_AREA and d_k is not None
+                and d_k <= _XLA_LEVEL_MAX_D):
             # tiny level: the split XLA iteration beats the Pallas launch
             # floor (see _XLA_LEVEL_AREA); keep the full-stack channels-LAST
             # expansion plus the pre-sliced target form

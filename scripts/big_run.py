@@ -56,14 +56,17 @@ def main():
     prec = os.environ.get("BIG_PREC", "float32")
     sym = os.environ.get("BIG_SYM", "0") == "1"
     slab = os.environ.get("BIG_SLAB")
+    presmooth = float(os.environ.get("BIG_PRESMOOTH", "0"))
     reps = int(os.environ.get("BIG_REPS", "1"))
     cfg = FilterConfig(
         sigma=(2.0,) * 3, boundary=Boundary.WRAP, use_flow=True,
         flow=FlowConfig(levels=3, winsize=5, use_initial_flow=True,
-                        precision=prec, tap_mode=tap, symmetric_adjacent=sym),
+                        precision=prec, tap_mode=tap, symmetric_adjacent=sym,
+                        presmooth=presmooth),
         slab_size=int(slab) if slab else None)
 
-    print(f"shape={shape} tap={tap} prec={prec} sym={sym} slab={slab}", flush=True)
+    print(f"shape={shape} tap={tap} prec={prec} sym={sym} slab={slab} "
+          f"presmooth={presmooth}", flush=True)
     t0 = time.perf_counter()
     # Volume generation takes minutes on a 1-core host; cache it on tmpfs
     # so repeated timing attempts (e.g. riding the XLA compile cache
