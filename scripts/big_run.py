@@ -67,6 +67,29 @@ def main():
 
     print(f"shape={shape} tap={tap} prec={prec} sym={sym} slab={slab} "
           f"presmooth={presmooth}", flush=True)
+
+    if os.environ.get("BIG_DEVGEN", "0") == "1":
+        # Compute-only profile: generate the volume ON-device (bench.py's
+        # generator) and hand it to denoise as owned (donated, no defensive
+        # copy) -- same residency as the host-input path after its one H2D.
+        # The tunnel's bulk H2D degrades to ~100 KB/s under load (2 GiB
+        # would take hours), which poisons host-input absolutes; production
+        # TPU hosts move 2 GiB over PCIe in <1 s, so compute-only IS the
+        # representative per-chip figure there.  Regenerated per rep
+        # (generation is milliseconds) because each rep donates it.
+        from bench import device_volume
+        voxels = shape[0] * shape[1] * shape[2]
+        for rep in range(max(1, reps)):
+            v = device_volume(*shape, seed=0)
+            t0 = time.perf_counter()
+            out = denoise(v, cfg, owned=True)
+            s = float(out.reshape(-1)[0])
+            dt = time.perf_counter() - t0
+            print(f"rep {rep}: {dt:.1f}s = {voxels / dt / 1e6:.2f} Mvoxel/s "
+                  f"(device-resident input; probe {s:.3f})", flush=True)
+        print("OK", flush=True)
+        return
+
     t0 = time.perf_counter()
     # Volume generation takes minutes on a 1-core host; cache it on tmpfs
     # so repeated timing attempts (e.g. riding the XLA compile cache

