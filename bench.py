@@ -45,6 +45,7 @@ reps after warmup; best-of is reported), BENCH_DEADLINE_S (default 900),
 BENCH_NO_CACHE=1 to ignore/skip the cv2 baseline cache file.
 """
 
+import functools
 import json
 import os
 import sys
@@ -133,17 +134,11 @@ def make_volume(n, h, w, seed=0):
     return vol
 
 
-def device_volume(n, h, w, seed=0):
-    """Generate the bench volume ON the device: same blob field and drift
-    path as :func:`make_volume` (scalar params from the host RNG), noise
-    from the device PRNG.
-
-    The bulk H2D transfer this replaces is the bench's single biggest
-    loss risk: the tunneled TPU's H2D degrades by orders of magnitude
-    under load (measured 16 MiB in 236 s on 2026-08-21 vs ~1 s healthy;
-    round 3's official bench died to exactly this).  Only O(KB) of drift
-    indices leave the host.
-    """
+@functools.lru_cache(maxsize=8)
+def _device_volume_gen(n, h, w, seed):
+    """Jitted on-device generator, cached per (shape, seed) so repeated
+    calls (e.g. big_run's per-rep regeneration after donation) don't
+    re-trace the 30-blob unrolled program each time."""
     import jax
     import jax.numpy as jnp
 
@@ -163,6 +158,23 @@ def device_volume(n, h, w, seed=0):
                                   jnp.float32)
         return vol + 8.0 * noise
 
+    return gen, iys, ixs
+
+
+def device_volume(n, h, w, seed=0):
+    """Generate the bench volume ON the device: same blob field and drift
+    path as :func:`make_volume` (scalar params from the host RNG), noise
+    from the device PRNG.
+
+    The bulk H2D transfer this replaces is the bench's single biggest
+    loss risk: the tunneled TPU's H2D degrades by orders of magnitude
+    under load (measured 16 MiB in 236 s on 2026-08-21 vs ~1 s healthy;
+    round 3's official bench died to exactly this).  Only O(KB) of drift
+    indices leave the host.
+    """
+    import jax.numpy as jnp
+
+    gen, iys, ixs = _device_volume_gen(n, h, w, seed)
     out = gen(jnp.asarray(iys), jnp.asarray(ixs))
     out.block_until_ready()
     return out
@@ -365,8 +377,12 @@ def main():
         return
 
     # --- cv2 single-core baseline: cache hit means vs_baseline is present
-    # in the very first emitted line ---
-    cache_key = f"cv2_{size}x{size}_z{baseline_z}_s{sigma}_l{levels}_w{winsize}"
+    # in the very first emitted line.  Keyed by host too: the rate is a
+    # property of THIS machine's core, and a rerun elsewhere must
+    # re-measure instead of reporting a foreign rate as locally measured ---
+    import platform
+    cache_key = (f"cv2_{size}x{size}_z{baseline_z}_s{sigma}_l{levels}"
+                 f"_w{winsize}@{platform.node()}")
     cached = _cache_load().get(cache_key)
     cpu_rate = cached["rate_Mvoxel_s"] if cached else None
     cpu_note = ("cv2 reference measured on 1 core of this host over "
@@ -430,11 +446,10 @@ def main():
     emit(result)
 
     def refresh_vs_baseline():
+        # runs before the presmooth/fast sections, which compute their own
+        # vs_baseline inline from the by-then-measured cpu_rate
         result["cpu_reference_Mvoxel_s"] = round(cpu_rate, 4)
         result["vs_baseline"] = round(result["value"] / cpu_rate, 2)
-        for sec in (result["presmooth"], result["fast"]):
-            if sec is not None:
-                sec["vs_baseline"] = round(sec["value"] / cpu_rate, 2)
 
     # --- cv2 baseline, if not cached (measure it EARLY: it is the headline's
     # denominator, and at ~20-60 s it is cheaper than the TPU sections) ---

@@ -19,11 +19,13 @@ probe therefore
   distance the filter uses (ks2 = kernel_len // 2; per-tap flow grows with
   tap distance, so distance-ks2 pairs bound every tap) and at distance 1
   (bounding the compose modes' ``adjacent_displacement``),
-- resizes the planes (INTER_AREA) to the FIXED ``probe_extent`` square --
-  the probe costs ~nothing, plane noise is averaged down, large motions
-  shrink into the pyramid's capture range, and every volume/axis shares one
-  compiled probe program (per-axis scale factors map ladder bounds in
-  full-res pixels onto probe-res flow components),
+- resizes the planes (INTER_AREA) to a FIXED aspect-bucket shape (square /
+  1:4 / 4:1 at ``probe_extent`` area) -- the probe costs ~nothing, plane
+  noise is averaged down, large motions shrink into the pyramid's capture
+  range, and every volume/axis maps onto a handful of compiled probe
+  programs (per-axis scale factors map ladder bounds in full-res pixels
+  onto probe-res flow components; buckets bound anisotropic distortion to
+  2x),
 - solves unbounded Farneback (exact-gather path, ``max_displacement=None``)
   at probe scale, and
 - picks the smallest ladder D whose component-clamped flow keeps the warp
@@ -93,31 +95,55 @@ def _probe_cfg(flow_cfg: FlowConfig) -> FlowConfig:
         sampler="windowed")
 
 
+def _bucket_shape(h: int, w: int, e: int) -> tuple[int, int]:
+    """Fixed probe shape for a plane geometry.
+
+    Planes that fit the ``e x e`` square (upscale-only regime) keep the
+    square: that is the geometry the benefit-tolerance was calibrated
+    against (the quality-tier picks D=24-32 that reach cv2 parity,
+    QUALITY.md), and measured A/B showed the aspect-matched bucket UNDER-
+    picks there (D=16 where the quality ladder needs 24-32 -- magnifying
+    small-axis motion is what keeps the clamp-cost signal resolvable).
+
+    Planes that need DOWNSCALING pick the closest-aspect of three equal-
+    area buckets (square, 1:4 wide, 4:1 tall): squashing a 512x2048 side
+    plane to a square compresses x 16x but y only 4x, and Farneback's
+    isotropic windows then aggregate over 4x-different physical extents per
+    axis -- the buckets bound that distortion to 2x.  Each shape persists
+    in the compile cache."""
+    if h <= e and w <= e:
+        return (e, e)
+    import math
+    cands = ((e, e), (e // 2, 2 * e), (2 * e, e // 2))
+    want = math.log(h / w)
+    return min(cands, key=lambda s: abs(want - math.log(s[0] / s[1])))
+
+
 def _resize_group(tgt: np.ndarray, ref: np.ndarray, probe_extent: int):
-    """Resize one probe group's plane stacks to the FIXED square probe
-    shape -- on the HOST (two tiny matmuls with the OpenCV-convention area
-    weights; no per-geometry XLA compile).  Returns (t, r, su, sv) with the
-    per-axis full-res-px / probe-px scale factors.  Small axes are upscaled
-    (area weights degenerate to bilinear); every volume and axis thus maps
-    onto ONE probe geometry."""
+    """Resize one probe group's plane stacks to the fixed aspect-bucket
+    probe shape -- on the HOST (two tiny matmuls with the OpenCV-convention
+    area weights; no per-geometry XLA compile).  Returns (t, r, su, sv)
+    with the per-axis full-res-px / probe-px scale factors.  Small axes are
+    upscaled (area weights degenerate to bilinear); every volume and axis
+    thus maps onto one of a handful of probe geometries."""
     from flowdenoising_tpu.ops.resize import area_resize_matrix
 
-    e = probe_extent
     h, w = tgt.shape[-2:]
-    wr = area_resize_matrix(h, e)
-    wc = area_resize_matrix(w, e)
+    eh, ew = _bucket_shape(h, w, probe_extent)
+    wr = area_resize_matrix(h, eh)
+    wc = area_resize_matrix(w, ew)
 
     def rs(x):
         return np.einsum("eh,nhw,fw->nef", wr,
                          np.asarray(x, np.float64), wc,
                          optimize=True).astype(np.float32)
 
-    return rs(tgt), rs(ref), w / e, h / e
+    return rs(tgt), rs(ref), w / ew, h / eh
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _probe_program(flow_cfg: FlowConfig, n_groups: int, n_pairs: int,
-                   extent: int, n_ladder: int):
+                   shape: tuple[int, int], n_ladder: int):
     """ONE jitted program computing the whole probe for a fixed geometry:
     batched unbounded Farneback solve over all groups' plane pairs, then
     per-group mean-abs warp error at every ladder bound, the unbounded
@@ -142,7 +168,7 @@ def _probe_program(flow_cfg: FlowConfig, n_groups: int, n_pairs: int,
 
     @jax.jit
     def run(t, r, bounds):
-        # t, r: (n_groups*n_pairs, extent, extent) float32
+        # t, r: (n_groups*n_pairs, *shape) float32
         # bounds: (n_groups, n_ladder, 2) clamp bounds in PROBE-res pixels
         flow = farneback_flow(r, t, pcfg)
 
@@ -158,24 +184,31 @@ def _probe_program(flow_cfg: FlowConfig, n_groups: int, n_pairs: int,
     return run
 
 
-def _run_probe(groups_resized, ladders, flow_cfg: FlowConfig, extent: int):
-    """Execute the fixed-shape probe program over the resized groups.
+def _run_probe(groups_resized, ladders, flow_cfg: FlowConfig):
+    """Execute the fixed-shape probe programs over the resized groups.
 
     groups_resized: list of (t, r, su, sv); ladders: per-group D tuples
-    (full-res pixels).  Returns per-group (curve, base, ident) floats."""
-    n_groups = len(groups_resized)
+    (full-res pixels).  Groups sharing an aspect-bucket shape run as ONE
+    batched program call; results come back in input order.  Returns
+    per-group (curve, base, ident) floats."""
     n_pairs = groups_resized[0][0].shape[0]
     n_ladder = len(ladders[0])
-    t_all = np.concatenate([t for t, _, _, _ in groups_resized])
-    r_all = np.concatenate([r for _, r, _, _ in groups_resized])
-    # D is in full-res pixels; flow components are in probe-res pixels.
-    bounds = np.asarray([[[d / su, d / sv] for d in lad]
-                         for lad, (_, _, su, sv) in zip(ladders, groups_resized)],
-                        np.float32)
-    prog = _probe_program(flow_cfg, n_groups, n_pairs, extent, n_ladder)
-    errs, base, ident = (np.asarray(x) for x in prog(t_all, r_all, bounds))
-    return [(errs[i].tolist(), float(base[i]), float(ident[i]))
-            for i in range(n_groups)]
+    out = [None] * len(groups_resized)
+    by_shape: dict = {}
+    for i, (t, _, _, _) in enumerate(groups_resized):
+        by_shape.setdefault(tuple(t.shape[-2:]), []).append(i)
+    for shape, idxs in by_shape.items():
+        t_all = np.concatenate([groups_resized[i][0] for i in idxs])
+        r_all = np.concatenate([groups_resized[i][1] for i in idxs])
+        # D is in full-res pixels; flow components are in probe-res pixels.
+        bounds = np.asarray(
+            [[[d / groups_resized[i][2], d / groups_resized[i][3]]
+              for d in ladders[i]] for i in idxs], np.float32)
+        prog = _probe_program(flow_cfg, len(idxs), n_pairs, shape, n_ladder)
+        errs, base, ident = (np.asarray(x) for x in prog(t_all, r_all, bounds))
+        for j, i in enumerate(idxs):
+            out[i] = (errs[j].tolist(), float(base[j]), float(ident[j]))
+    return out
 
 
 def _pick_bound(costs_by_axis, stats_by_axis, ladder, label) -> int:
@@ -241,7 +274,7 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
         resized = [_resize_group(tgt, ref, probe_extent)
                    for _, _, tgt, ref in groups]
         results = _run_probe(resized, [lad for _, lad, _, _ in groups],
-                             cfg.flow, probe_extent)
+                             cfg.flow)
         for (label, ladder, tgt, ref), (curve, base, ident) in zip(groups,
                                                                    results):
             if base > _UNTRACKED_FRAC * ident:
@@ -254,7 +287,7 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
                 # so the pick is floored at the fixed default.
                 (curve, base, ident), = _run_probe(
                     [_resize_group(tgt, ref, 2 * probe_extent)], [ladder],
-                    cfg.flow, 2 * probe_extent)
+                    cfg.flow)
                 if base > _UNTRACKED_FRAC * ident:
                     untrackable.append(label)
             if label.endswith("/far"):

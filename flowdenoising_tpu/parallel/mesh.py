@@ -246,21 +246,23 @@ def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
                 _pass_fn_cache.pop(next(iter(_pass_fn_cache)))
             _pass_fn_cache[cache_key] = pass_fns
 
-    # size gate: each denoise_sharded call builds fresh pass closures, so
-    # (unlike the pipeline's _warmed dedup) repeated small-volume calls
-    # would re-lower in the background every time; ahead-compilation only
-    # pays where compiles are minutes long, i.e. at production shapes
-    if jit and len(pass_fns) > 1 and vol.size >= 2 ** 24 \
-            and not isinstance(vol, jax.core.Tracer) \
-            and os.environ.get("FDTPU_COMPILE_AHEAD", "1") != "0":
-        # background-compile the later passes' sharded programs while the
-        # first executes (same scheme as pipeline._compile_ahead)
-        from flowdenoising_tpu.core.pipeline import _compile_ahead
-        aval = jax.ShapeDtypeStruct(vol.shape, jnp.float32,
-                                    sharding=io_sharding)
-        mv_aval = jax.ShapeDtypeStruct((), jnp.float32)
-        later = sorted(pass_fns)[1:]
-        _compile_ahead([(pass_fns[i], aval, mv_aval) for i in later])
+        # Compile-ahead belongs to the cache-MISS branch only: fn.lower()
+        # always re-traces (it bypasses jit's call cache), so running it on
+        # every call would re-pay in a background thread exactly the
+        # retrace cost the pass-fn cache eliminates.  Size gate: ahead-
+        # compilation only pays where compiles are minutes long, i.e. at
+        # production shapes.
+        if jit and len(pass_fns) > 1 and vol.size >= 2 ** 24 \
+                and not isinstance(vol, jax.core.Tracer) \
+                and os.environ.get("FDTPU_COMPILE_AHEAD", "1") != "0":
+            # background-compile the later passes' sharded programs while
+            # the first executes (same scheme as pipeline._compile_ahead)
+            from flowdenoising_tpu.core.pipeline import _compile_ahead
+            aval = jax.ShapeDtypeStruct(vol.shape, jnp.float32,
+                                        sharding=io_sharding)
+            mv_aval = jax.ShapeDtypeStruct((), jnp.float32)
+            later = sorted(pass_fns)[1:]
+            _compile_ahead([(pass_fns[i], aval, mv_aval) for i in later])
 
     out = vol
     for i in sorted(pass_fns):

@@ -79,12 +79,25 @@ def main():
         # (generation is milliseconds) because each rep donates it.
         from bench import device_volume
         voxels = shape[0] * shape[1] * shape[2]
+        marks = []
+        on_pass = None
+        if os.environ.get("BIG_PASS_TIMES", "0") == "1":
+            def on_pass(i, out):
+                # scalar fetch: block_until_ready is a no-op on this
+                # tunneled PJRT transport
+                float(out.reshape(-1)[0])
+                marks.append((i, time.perf_counter()))
         for rep in range(max(1, reps)):
             v = device_volume(*shape, seed=0)
+            marks.clear()
             t0 = time.perf_counter()
-            out = denoise(v, cfg, owned=True)
+            out = denoise(v, cfg, owned=True, on_pass=on_pass)
             s = float(out.reshape(-1)[0])
             dt = time.perf_counter() - t0
+            prev = t0
+            for i, tm in marks:
+                print(f"  pass {i}: {tm - prev:.1f}s", flush=True)
+                prev = tm
             print(f"rep {rep}: {dt:.1f}s = {voxels / dt / 1e6:.2f} Mvoxel/s "
                   f"(device-resident input; probe {s:.3f})", flush=True)
         print("OK", flush=True)

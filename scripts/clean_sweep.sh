@@ -44,9 +44,9 @@ run "compose bf16 sym (headline)" BIG_SHAPE=$H BIG_TAP=compose BIG_PREC=bfloat16
 run "compose bf16 sym presmooth (headline)" BIG_SHAPE=$H BIG_TAP=compose BIG_PREC=bfloat16 BIG_SYM=1 BIG_PRESMOOTH=1.5
 
 echo "=== official bench record (256^3, all sections) ==="
-BENCH_DEADLINE_S=1200 timeout 1500 python bench.py 2>/dev/null | tail -1
+BENCH_DEADLINE_S=1200 timeout 1500 python bench.py 2>/dev/null | grep '^{' | tail -1
 
 echo "=== batch throughput (config 5) ==="
-BENCH_MODE=batch timeout 2400 python bench.py 2>/dev/null | tail -1
+BENCH_MODE=batch timeout 2400 python bench.py 2>/dev/null | grep '^{' | tail -1
 
 echo "=== sweep done ==="

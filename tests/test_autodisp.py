@@ -111,7 +111,7 @@ def test_adjacent_floor_independent_of_far(monkeypatch):
     import flowdenoising_tpu.core.autodisp as A
     from flowdenoising_tpu.config import FilterConfig
 
-    def fake_run_probe(resized, ladders, flow_cfg, extent):
+    def fake_run_probe(resized, ladders, flow_cfg):
         out = []
         for lad in ladders:
             if tuple(lad) == A._D_LADDER:
