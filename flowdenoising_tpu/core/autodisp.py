@@ -235,6 +235,9 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
 
     ``vol`` may be any array-like with numpy slicing (ndarray or np.memmap
     in stored dtype); only ~``3 axes * 2 * _N_PAIRS`` planes are touched.
+    For memory-mapped input the axis-1/2 planes are strided reads that
+    fault in pages across the file -- bounded by a few file-scans' worth,
+    small next to the 3 passes' own volume-sized I/O.
 
     Cost shape: all probe groups (axis x tap-distance) are resized to ONE
     fixed (probe_extent^2) geometry and solved in ONE batched Farneback
