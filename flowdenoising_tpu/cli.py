@@ -90,15 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", choices=["float32", "bfloat16"], default="float32",
                    help="Flow inner-pass precision; bfloat16 is the fast mode "
                         "(single-pass MXU + packed bf16-pair sampling)")
-    p.add_argument("--tap_flow", choices=["solve", "compose", "compose_refine"],
+    p.add_argument("--tap_flow", choices=["solve", "compose"],
                    default="solve",
                    help="Per-tap flow strategy: 'solve' = reference parity "
                         "(one Farneback solve per tap pair); 'compose' = solve "
                         "adjacent pairs only and chain flow fields (~8x fewer "
-                        "solves); 'compose_refine' adds one full-res Farneback "
-                        "iteration per tap (NOT recommended: measured at or "
-                        "below plain compose on every quality tier at ~2x its "
-                        "cost -- see QUALITY.md)")
+                        "solves).  (A 'compose_refine' mode was removed in "
+                        "v0.5.0: measured at or below plain compose on every "
+                        "quality tier at ~2x its cost -- see QUALITY.md)")
     p.add_argument("--max_displacement", type=int_or_str, default=None,
                    help="Per-tap flow sampling bound in pixels; motions "
                         "beyond it are clamped during sampling.  Default "
@@ -132,9 +131,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true",
                    help="Disk-streamed passes for volumes larger than host "
                         "RAM: the volume stays memory-mapped on disk and "
-                        "each pass streams axis slabs through the device "
+                        "each pass streams axis slabs through the device(s) "
                         "(scratch memmaps ping-pong between passes; "
-                        "bitwise-identical to the in-memory pipeline)")
+                        "bitwise-identical to the in-memory pipeline).  "
+                        "Composes with --devices: each slab window runs "
+                        "ring-halo sharded over the mesh, so a >RAM volume "
+                        "on one multi-chip host uses every chip")
     p.add_argument("--tiff_quantize", action="store_true",
                    help="Quantize TIFF output like the reference sequential "
                         "variant: uint8 if max < 256 else uint16 "
@@ -371,9 +373,6 @@ def main(argv=None) -> int:
                 ckpt.save_pass(i, v)
 
         if args.stream:
-            if n_devices > 1:
-                logging.warning("--stream runs single-device; ignoring "
-                                "--devices")
             from flowdenoising_tpu.core.stream import denoise_streamed
             state = {"done": 0}
 
@@ -381,9 +380,13 @@ def main(argv=None) -> int:
                 progress.advance(done - state["done"])
                 state["done"] = done
 
+            # >host-RAM x multi-chip composition: slabs stream from disk
+            # and each window's pass runs ring-halo sharded over the mesh
+            # (parallel.mesh.sharded_window_pass)
             filtered = denoise_streamed(vol, cfg, kernels=kernels,
                                         slab_size=args.slab_size,
-                                        progress=stream_progress)
+                                        progress=stream_progress,
+                                        n_devices=n_devices)
             # final pass lives in a scratch memmap; remove its temp dir
             # once the output file has been written
             stream_scratch = getattr(filtered, "filename", None)

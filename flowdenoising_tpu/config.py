@@ -76,8 +76,12 @@ class FlowConfig:
     #                       F_{z->z+j} = F_{z->z+j-1} + warp(a_{z+j-1}, F_{z->z+j-1}).
     #                       ~8x fewer pyramid solves; identical for the
     #                       adjacent taps, approximate beyond them.
-    #   "compose_refine" -- compose, then one full-resolution Farneback
-    #                       iteration per tap to re-anchor the composed flow.
+    # (A third mode, "compose_refine" -- one full-resolution re-anchor
+    # iteration per composed tap -- was REMOVED in v0.5.0: a measured
+    # trust-region ladder (clip 0/0.5/0.75/1.5 px, 1-2 iterations, all
+    # QUALITY tiers) found no setting reaching >= plain compose everywhere;
+    # the level-0 re-solve's correction direction is noise-driven.  Best
+    # case was +0.1 dB, worst -0.24 dB, at ~2x compose's cost.)
     tap_mode: str = "solve"
     # Displacement bound for the ADJACENT-pair solves of the compose modes.
     # Adjacent-slice motion is sub-pixel drift in FIB-SEM stacks, so a much
@@ -91,19 +95,6 @@ class FlowConfig:
     # motion (error O(|a|^2 * flow gradient)); quality impact measured in
     # QUALITY.md.
     symmetric_adjacent: bool = False
-    # compose_refine only: trust-region bound (pixels) on the correction the
-    # full-resolution re-anchor iteration may apply to the composed flow;
-    # 0 disables the clip.  A measured clip ladder (scripts/refine_ab.py,
-    # 0/0.5/0.75/1.5 px and 2 iterations, all QUALITY tiers) found NO
-    # setting that lifts compose_refine to >= plain compose everywhere --
-    # the level-0 re-solve's correction direction is noise-driven, and
-    # clipping only shrinks both its rare wins (<= +0.1 dB, membranes
-    # n>=30) and its losses (up to -0.24 dB, blobs).  The mode is therefore
-    # NOT RECOMMENDED (kept for API compatibility; QUALITY.md documents the
-    # measurements); the default 0 preserves its best-measured behavior.
-    refine_clip: float = 0.0
-    # compose_refine only: number of re-anchor iterations per tap.
-    refine_iters: int = 1
     # Estimate flows from a lightly Gaussian-pre-smoothed copy of the
     # operands (sigma in pixels, in-plane); the tap WARPS still sample the
     # raw volume.  On noisy inputs the per-pixel flow NOISE (std ~1.4 px on
@@ -113,6 +104,14 @@ class FlowConfig:
     # ESTIMATION operands collapses it.  0 disables (exact reference
     # operand semantics); quality impact measured in QUALITY.md.
     presmooth: float = 0.0
+
+    def __post_init__(self):
+        if self.tap_mode not in ("solve", "compose"):
+            raise ValueError(
+                f"unknown tap_mode {self.tap_mode!r}: expected 'solve' or "
+                "'compose' ('compose_refine' was removed in v0.5.0 -- it "
+                "measured at or below plain 'compose' on every quality tier "
+                "at ~2x the cost; use 'compose')")
 
     def clamped_levels(self, height: int, width: int) -> int:
         """Number of pyramid levels actually used for an image size.

@@ -37,8 +37,7 @@ import numpy as np
 
 from flowdenoising_tpu.config import Boundary, FlowConfig
 from flowdenoising_tpu.ops.farneback import (
-    polyexp_pyramid, flow_from_pyramids, matmul_precision,
-    update_matrices, update_flow, _level_displacement)
+    polyexp_pyramid, flow_from_pyramids, matmul_precision)
 from flowdenoising_tpu.ops.warp import warp_slices, displace_sample
 
 
@@ -214,7 +213,7 @@ def of_pass_padded(padded: jnp.ndarray, taps: np.ndarray, flow_cfg: FlowConfig) 
 
 def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
                       flow_cfg: FlowConfig) -> jnp.ndarray:
-    """Composed-flow OF pass (FlowConfig.tap_mode "compose"/"compose_refine").
+    """Composed-flow OF pass (FlowConfig.tap_mode "compose").
 
     TPU-first redesign of the tap loop: instead of one seeded pyramid solve
     per (target, neighbor) pair (2*ks2 solves per output slice,
@@ -226,10 +225,9 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
 
     (same outward two-run structure, composition replaces the solve).  The
     adjacent-tap flows are exactly the solve-mode flows; farther taps are
-    approximations whose quality is re-anchored in "compose_refine" mode by
-    one full-resolution Farneback iteration against the true tap pair.
-    Beyond the ~8x solve-count reduction this drops the pyramid expansions
-    from the tap scan's live set, shrinking the pass working set.
+    approximations (quality measured per tier in QUALITY.md).  Beyond the
+    ~8x solve-count reduction this drops the pyramid expansions from the
+    tap scan's live set, shrinking the pass working set.
     """
     taps = np.asarray(taps, dtype=np.float64)
     ksize = len(taps)
@@ -240,9 +238,7 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
     n = padded.shape[0] - 2 * ks2
     h, w = padded.shape[1], padded.shape[2]
     vol = padded[ks2:ks2 + n]
-    refine = flow_cfg.tap_mode == "compose_refine"
     d = flow_cfg.max_displacement
-    d0 = _level_displacement(flow_cfg, 0)
     packed = flow_cfg.precision == "bfloat16"
 
     # Adjacent-pair solves use a tightened displacement bound (adjacent
@@ -268,13 +264,10 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
             adj_bwd = -adj_fwd
         else:
             adj_bwd = flow_from_pyramids(hi, lo, adj_cfg, None).astype(dtype)
-        r_full = r_levels[0] if refine else None
-        r0_int = r_full[ks2:ks2 + n] if refine else None
-
         acc0 = vol * jnp.asarray(taps[ks2], dtype)
 
         fused_step = False
-        if not refine and d is not None and flow_cfg.sampler in (
+        if d is not None and flow_cfg.sampler in (
                 "auto", "pallas", "pallas_xwin"):
             from flowdenoising_tpu.ops.pallas.sample import pallas_supported
             fused_step = pallas_supported()
@@ -347,30 +340,7 @@ def _of_pass_composed(padded: jnp.ndarray, taps: np.ndarray,
                 link_cf = jnp.moveaxis(link, -1, -3)
                 warped_link = displace_sample(
                     link_cf, flow[..., 0], flow[..., 1], d, flow_cfg.sampler)
-                flow = flow + jnp.moveaxis(warped_link, -3, -1)
-                if refine:
-                    r1s = jax.lax.dynamic_slice_in_dim(r_full, start, n, axis=0)
-                    # Trust-region re-anchor: the composed flow's error is
-                    # the accumulated composition drift -- sub-pixel per
-                    # chain step -- so the full-res iteration's correction
-                    # is CLIPPED to refine_clip pixels.  An unclipped
-                    # level-0 re-solve replaces a chain-smoothed estimate
-                    # with one driven by noisy full-res polynomial
-                    # coefficients, which measurably LOWERED quality vs
-                    # plain compose (round-3 QUALITY.md); clipping keeps
-                    # the sub-pixel polish and rejects the noise jumps.
-                    for _ in range(flow_cfg.refine_iters):
-                        m = update_matrices(r0_int, r1s, flow, d0,
-                                            flow_cfg.sampler, packed=packed)
-                        new = update_flow(m, flow_cfg.winsize,
-                                          flow_cfg.sampler)
-                        if flow_cfg.refine_clip > 0:
-                            flow = flow + jnp.clip(new - flow,
-                                                   -flow_cfg.refine_clip,
-                                                   flow_cfg.refine_clip)
-                        else:
-                            flow = new
-                flow = flow.astype(dtype)
+                flow = (flow + jnp.moveaxis(warped_link, -3, -1)).astype(dtype)
                 warped = warp_slices(neighbor, flow, d, flow_cfg.sampler)
                 acc = acc + (warped * weight).astype(dtype)
                 return (flow, acc), None

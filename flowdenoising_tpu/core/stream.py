@@ -121,7 +121,8 @@ def _streamed_mean(src: np.ndarray, chunk: int = 8) -> float:
 def denoise_streamed(src: np.ndarray, cfg: FilterConfig = FilterConfig(),
                      kernels=None, *, tmp_dir: str | None = None,
                      out: np.ndarray | None = None, slab_size: int | None = None,
-                     on_pass=None, progress=None) -> np.ndarray:
+                     on_pass=None, progress=None, mesh=None,
+                     n_devices: int | None = None) -> np.ndarray:
     """Three-pass OF-compensated (or plain Gaussian) denoise of a volume
     that never has to fit in host RAM.
 
@@ -131,6 +132,13 @@ def denoise_streamed(src: np.ndarray, cfg: FilterConfig = FilterConfig(),
     out: optional preallocated float32 (Z, Y, X) array (e.g. a memmap of
     the output file's data region) the final pass writes into; a scratch
     memmap is created when omitted.
+    mesh / n_devices: run each slab's pass sharded over a device mesh
+    (``parallel.mesh.sharded_window_pass``), so a >host-RAM volume on one
+    multi-chip host uses every chip: slabs stream from disk, each window
+    is ring-halo sharded along the pass axis, outputs stream back to the
+    scratch memmaps.  Bitwise-identical to the single-device stream.  The
+    auto slab grows by the device count (per-device HBM bounding happens
+    inside the sharded pass).
     Returns the output array (the ``out`` argument when given).
 
     Intermediate passes ping-pong through two float32 scratch memmaps in
@@ -140,6 +148,10 @@ def denoise_streamed(src: np.ndarray, cfg: FilterConfig = FilterConfig(),
     """
     shape = tuple(src.shape)
     assert len(shape) == 3, "volume must be (Z, Y, X)"
+    if mesh is None and n_devices is not None and n_devices > 1:
+        from flowdenoising_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_devices)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
     kernels = get_gaussian_kernels(cfg.sigma) if kernels is None else kernels
     mean_val = 0.0
     if cfg.boundary is Boundary.MEAN:
@@ -169,12 +181,21 @@ def denoise_streamed(src: np.ndarray, cfg: FilterConfig = FilterConfig(),
         if slab is None:
             # shared model with the in-memory pipeline (incl. the eo solve
             # operand growth -- the >host-RAM regime --stream exists for is
-            # exactly where an under-modeled slab would OOM)
-            slab = pass_slab(cfg, n, plane[0], plane[1], ks2) or n
+            # exactly where an under-modeled slab would OOM).  On a mesh the
+            # window grows by the device count: each device's share of it is
+            # what the model bounds (the sharded pass re-slabs per shard).
+            base = pass_slab(cfg, n, plane[0], plane[1], ks2)
+            slab = n if base is None else min(n, base * n_dev)
         slab = min(slab, n)
         n_slabs = -(-n // slab)
-        pass_fn = _cached_padded_pass(
-            tuple(taps64), cfg.flow if cfg.use_flow else None)
+        if n_dev > 1:
+            from flowdenoising_tpu.parallel.mesh import sharded_window_pass
+            pass_fn = (lambda window, _taps=taps64, _slab=slab:
+                       sharded_window_pass(window, _taps, cfg, mesh, _slab))
+        else:
+            cached = _cached_padded_pass(
+                tuple(taps64), cfg.flow if cfg.use_flow else None)
+            pass_fn = cached
 
         logging.info(f"streamed pass {i}: axis={axis} n={n} slab={slab} "
                      f"({n_slabs} slabs)")

@@ -137,6 +137,76 @@ def _sharded_pass(padded_pass_fn, mesh: Mesh, vol: jnp.ndarray, taps,
     )(vol, mv)
 
 
+# sharded_window_pass's jitted programs, keyed by (devices, cfg, taps,
+# window shape, out_n) -- same value-cache scheme as _pass_fn_cache.
+_window_fn_cache: dict = {}
+
+
+def sharded_window_pass(window, taps, cfg: FilterConfig, mesh: Mesh,
+                        out_n: int):
+    """One padded axis pass over a boundary-materialized window, sharded
+    over the mesh -- the streamed x sharded composition point.
+
+    ``window``: (out_n + 2*ks2, H, W) float32 with TRUE boundary/halo
+    context rows already materialized (``core/stream.py`` gathers them from
+    disk per slab; the reference's only >RAM device is the single-process
+    ``-m`` memmap read, /root/reference/src/flowdenoising_sequential.py:510-515).
+    Returns the (out_n, H, W) pass outputs, bitwise-equal to running
+    ``of_pass_padded``/``gaussian_pass_padded`` on one device
+    (tests/test_stream.py::test_streamed_sharded_matches_single_device).
+
+    The window is align-padded to the mesh with edge-replicated tail rows
+    and run through the same ring-halo shard_map pass as denoise_sharded's
+    non-divisible branch: outputs within ks2 of the ring's wrap seam are
+    cropped, so seam content never reaches a returned row.  Devices whose
+    padded shard could not cover the ring halo are dropped (prefix
+    sub-mesh), mirroring ``usable_device_count``.
+    """
+    ks2 = len(taps) // 2
+    taps64 = np.asarray(taps, np.float64)
+    devs = list(mesh.devices.flat)
+    n_dev = len(devs)
+    while n_dev > 1:
+        ext = n_dev * (-(-(out_n + 2 * ks2) // n_dev))
+        if ext // n_dev >= max(ks2, 1):
+            break
+        n_dev -= 1
+    if n_dev != len(devs):
+        mesh = Mesh(np.asarray(devs[:n_dev]), (AXIS,))
+
+    key = (tuple(d.id for d in mesh.devices.flat), cfg, tuple(taps64),
+           tuple(window.shape), out_n)
+    fn = _window_fn_cache.get(key)
+    if fn is None:
+        h, w = window.shape[1], window.shape[2]
+        ext = n_dev * (-(-(out_n + 2 * ks2) // n_dev))
+        local_n = ext // n_dev
+        slab = pass_slab(cfg, local_n, h, w, ks2)
+        sharding = NamedSharding(mesh, P(AXIS, None, None))
+
+        if cfg.use_flow:
+            def padded_pass(win, tp):
+                return of_pass_padded(win, tp, cfg.flow)
+        else:
+            padded_pass = gaussian_pass_padded
+
+        def run(win):
+            extra = ext - win.shape[0]
+            if extra:
+                tail = jnp.broadcast_to(win[-1:], (extra,) + win.shape[1:])
+                win = jnp.concatenate([win, tail], axis=0)
+            win = jax.lax.with_sharding_constraint(win, sharding)
+            out = _sharded_pass(padded_pass, mesh, win, taps64,
+                                Boundary.WRAP, None, slab)
+            return jax.lax.slice_in_dim(out, ks2, ks2 + out_n, axis=0)
+
+        fn = jax.jit(run, donate_argnums=0)
+        if len(_window_fn_cache) >= _PASS_FN_CACHE_CAP:
+            _window_fn_cache.pop(next(iter(_window_fn_cache)))
+        _window_fn_cache[key] = fn
+    return fn(window)
+
+
 def denoise_sharded(vol, cfg: FilterConfig = FilterConfig(), kernels=None,
                     n_devices: int | None = None, mesh: Mesh | None = None,
                     jit: bool = True, start_pass: int = 0, mean_val=None,

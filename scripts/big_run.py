@@ -4,7 +4,7 @@
 The BASELINE.json config-4 harness: runs the CLI's per-pass execution path
 (pipeline.denoise, donated pass buffers, auto slab) at HBM-limit sizes.
 
-Env: BIG_SHAPE="512,1024,1024" (Z,Y,X), BIG_TAP=solve|compose|compose_refine,
+Env: BIG_SHAPE="512,1024,1024" (Z,Y,X), BIG_TAP=solve|compose,
 BIG_PREC=float32|bfloat16, BIG_SYM=1, BIG_SLAB=<int> (override auto slab),
 BIG_REPS (default 1 timed rep after warmup... warmup IS the timed rep for
 one-shot sizes: set BIG_REPS=2 for a steady-state number).

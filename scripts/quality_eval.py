@@ -102,7 +102,6 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
         ("tpu f32 solve presmooth=1.5", dict(presmooth=1.5)),
         ("tpu f32 solve presmooth=2.5", dict(presmooth=2.5)),
         ("tpu f32 compose", dict(tap_mode="compose")),
-        ("tpu f32 compose_refine", dict(tap_mode="compose_refine")),
         ("tpu bf16 D=8", dict(dtype="bfloat16", precision="bfloat16")),
         ("tpu bf16 compose symmetric (fastest)",
          dict(tap_mode="compose", precision="bfloat16",
@@ -111,21 +110,27 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
          dict(tap_mode="compose", precision="bfloat16",
               symmetric_adjacent=True, presmooth=1.5)),
     ]
-    # Unbounded exact-gather row only on probe-scale tiers: at the big tier
-    # a single unbounded pass dispatch runs for minutes and has crashed the
-    # TPU worker (watchdog) -- and the clamping-vs-algorithm decomposition
-    # it exists for is already established at probe scale
-    # (scripts/disp_decompose.py).
+    # Unbounded exact-gather row: direct on probe-scale tiers; on the big
+    # tier each dispatch must stay short (a single whole-volume unbounded
+    # pass runs for minutes and has crashed the TPU worker watchdog), so
+    # the pass runs in 16-slice slabs ("_slab" -> FilterConfig.slab_size;
+    # slab decomposition is bitwise-equal, core/pipeline.py).
     if n * hw * hw <= 2 ** 21:
         configs.insert(1, ("tpu f32 solve unbounded (--max_displacement 0)",
                            dict(max_displacement=None)))
+    else:
+        configs.insert(1, ("tpu f32 solve unbounded (--max_displacement 0, "
+                           "slab 16)",
+                           dict(max_displacement=None, _slab=16)))
     # One jitted executable per config, shared across all noise levels
     # (shapes are identical) -- without this, each (config, noise) pair
     # recompiles and the evaluation is compile-bound.
     jits = {}
     auto_jits = {}
     for name, over in configs:
-        cfg = FilterConfig(sigma=sig, boundary=Boundary.WRAP,
+        over = dict(over)
+        slab = over.pop("_slab", None)
+        cfg = FilterConfig(sigma=sig, boundary=Boundary.WRAP, slab_size=slab,
                            flow=FlowConfig(levels=L, winsize=W, **over))
         jits[name] = jax.jit(lambda x, c=cfg: denoise(x, c))
 
@@ -168,6 +173,7 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
         run_list = configs + [(auto_name, None)]
 
         v = jax.device_put(jnp.asarray(noisy))
+        rows = {}
         for name, over in run_list:
             jfn = auto_jits[key] if over is None else jits[name]
             out = jfn(v)
@@ -178,9 +184,28 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
             dt = time.perf_counter() - t0
             out = np.asarray(out)
             cross = "--" if ref_out is None else f"{psnr(ref_out, out):.2f} dB"
+            rows[name] = (dt, psnr(clean, out), ssim(clean, out), cross)
             lines.append(f"| {name} | {dt:.2f} | {psnr(clean, out):.2f} dB | "
                          f"{ssim(clean, out):.4f} | {cross} |")
-        print("\n".join(lines[-10:]), flush=True)
+
+        # Auto-presmooth POLICY row (core/noise.py): report the measured rel
+        # and the picked setting's metrics, so boundary tiers (rel ~ 0.4-0.5)
+        # show what the decision costs against the better alternative.
+        from flowdenoising_tpu.core.noise import (
+            _noise_and_spread, resolve_auto_presmooth)
+        base_ps = FilterConfig(sigma=sig, boundary=Boundary.WRAP,
+                               flow=FlowConfig(levels=L, winsize=W))
+        ps = resolve_auto_presmooth(noisy, base_ps).flow.presmooth
+        sn, ts = _noise_and_spread(noisy)
+        rel = sn / max(np.sqrt(max(ts ** 2 - sn ** 2, 1e-12)), 1e-12)
+        pick = ("tpu f32 solve (parity mode)" if ps == 0
+                else "tpu f32 solve presmooth=1.5")
+        if pick in rows:
+            dt, p, s, cross = rows[pick]
+            lines.append(f"| tpu f32 solve presmooth=auto (rel={rel:.2f} -> "
+                         f"ps={ps}) | {dt:.2f} | {p:.2f} dB | {s:.4f} | "
+                         f"{cross} |")
+        print("\n".join(lines[-12:]), flush=True)
 
 
 def main():
@@ -194,6 +219,9 @@ def main():
     p.add_argument("--patterns", nargs="+", default=["blobs", "membranes"])
     p.add_argument("--big", action="store_true",
                    help="add a 128x256x256 tier (single noise level)")
+    p.add_argument("--boundary", action="store_true",
+                   help="add tiers engineered at the auto-presmooth "
+                        "decision boundary (rel ~ 0.40 / 0.50)")
     p.add_argument("--skip-reference", action="store_true")
     p.add_argument("-o", "--output", default="QUALITY.md")
     args = p.parse_args()
@@ -216,16 +244,27 @@ def main():
         "~1/70th its cost).  `--max_displacement auto` now sizes the bound "
         "from clamp-cost curves normalized by the flow's tracking benefit "
         "(core/autodisp.py), picking D=24-32 on these volumes.",
-        "- **compose_refine is NOT recommended**: a measured trust-region "
-        "ladder (scripts/refine_ab.py: clip 0/0.5/0.75/1.5 px, 1-2 "
+        "- **compose_refine was REMOVED in v0.5.0**: a measured "
+        "trust-region ladder (round 4, clip 0/0.5/0.75/1.5 px, 1-2 "
         "iterations) found no setting that lifts it to >= plain compose "
         "everywhere; its correction direction is noise-driven.  Best case "
         "+0.1 dB (membranes n60), worst -0.24 dB (blobs n60), at ~2x "
-        "compose's cost.  Kept for API compatibility only.",
+        "compose's cost.",
     ]
     for pattern in args.patterns:
         eval_tier(pattern, args.n, args.hw, args.noises, args.sigma,
                   args.skip_reference, lines)
+    if args.boundary:
+        # Tiers engineered to straddle the auto-presmooth decision boundary
+        # (_REL_THRESHOLD=0.45, core/noise.py): noise sigma chosen as a
+        # fraction of each clean volume's spread so the measured rel lands
+        # ~0.40 / ~0.50 (previously unprobed, VERDICT r4 weak #4).
+        for pattern in ("membranes", "blobs"):
+            s = float(PATTERNS[pattern](args.n, args.hw, args.hw,
+                                        seed=0).std())
+            eval_tier(pattern, args.n, args.hw,
+                      [round(0.40 * s, 1), round(0.50 * s, 1)], args.sigma,
+                      args.skip_reference, lines)
     if args.big:
         eval_tier("membranes", 128, 256, [30.0], args.sigma,
                   args.skip_reference, lines)

@@ -45,6 +45,23 @@ def test_fast_drift_raises_bound():
     assert adj_d <= 6  # adjacent motion is still only ~2 px
 
 
+def test_untrackable_large_drift_floors_at_default():
+    """Large labeled drift whose CONTENT decorrelates slice-to-slice
+    (independent noise textures): no coherent match exists, the probe flow
+    cannot beat the identity warp, and the pick must FLOOR at the fixed
+    default instead of trusting an uninformative clamp-cost curve (the
+    autodisp floor path, core/autodisp.py untrackable escalation)."""
+    rng = np.random.default_rng(21)
+    # real 3 px/slice drift buried under per-slice noise at ~6x the
+    # structure amplitude: the motion is large AND untrackable
+    vol = make_shift_volume(24, 96, 96, px_per_slice=3.0)
+    vol += rng.normal(size=vol.shape).astype(np.float32) * 6 * vol.std()
+    cfg = FilterConfig(sigma=(2.0, 2.0, 2.0))
+    max_d, adj_d = probe_displacement(vol, cfg)
+    assert max_d >= 8, max_d   # floored at the fixed default, never tighter
+    assert adj_d >= 4, adj_d
+
+
 def test_resolve_fills_config():
     vol = make_blob_volume(16, 64, 64, seed=2)
     cfg = FilterConfig(sigma=(1.5, 1.5, 1.5))

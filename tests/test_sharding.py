@@ -204,11 +204,11 @@ def test_sharded_bf16_matches_single():
 
 
 @pytest.mark.slow
-def test_sharded_compose_refine_symmetric_matches_single():
+def test_sharded_compose_symmetric_matches_single():
     vol = make_blob_volume(16, 24, 16, seed=15)
     cfg = FilterConfig(sigma=(0.5, 0.5, 0.5), boundary=Boundary.WRAP,
                        flow=FlowConfig(levels=1, winsize=5, min_size=8,
-                                       tap_mode="compose_refine",
+                                       tap_mode="compose",
                                        symmetric_adjacent=True))
     single = np.asarray(denoise(vol, cfg))
     sharded = np.asarray(denoise_sharded(vol, cfg, n_devices=8))
