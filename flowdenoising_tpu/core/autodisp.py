@@ -42,6 +42,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 
 import numpy as np
 
@@ -67,6 +68,136 @@ _N_PAIRS = 4   # probed slice pairs per axis per distance
 # identity warp; above this fraction the clamp-cost curve is uninformative
 # (see curves_at in probe_displacement).
 _UNTRACKED_FRAC = 0.9
+
+
+# Bundled AOT seed for the probe programs (built by
+# scripts/seed_probe_cache.py): serialized XLA CPU executables of the two
+# fixed probe shapes, restored into the active persistent compilation
+# cache so the FIRST CLI run of a fresh machine/cache pays ~1 s of cache
+# deserialization instead of ~15-18 s of XLA compiles (round-4 QUALITY.md
+# measured 15.82 s on the first blobs tier).  Entries are keyed by
+# HLO+backend+version hashes, so a stale seed (different jax) simply
+# misses and the normal compile path runs.
+_SEED_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "_probe_seed")
+
+# The two program shapes almost every volume maps onto: the main batched
+# probe (3 axes x far/adj = 6 groups in the shared 128^2 aspect bucket)
+# and the single-group 2x escalation re-probe.  Only unusual aspect
+# buckets fall outside these and pay a normal compile.
+_COMMON_SHAPES = ((6, (128, 128)), (1, (256, 256)))
+
+
+def _probe_manifest() -> dict:
+    import json
+    try:
+        with open(os.path.join(_SEED_DIR, "manifest.json")) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _probe_cfg_key(flow_cfg: FlowConfig) -> str:
+    """Canonical identity of the probe program for a flow config: only the
+    fields ``_probe_cfg`` does NOT override matter."""
+    p = _probe_cfg(flow_cfg)
+    return (f"l{p.levels}_w{p.winsize}_i{p.iterations}_pn{p.poly_n}"
+            f"_ps{p.poly_sigma}_sc{p.pyr_scale}_ms{p.min_size}")
+
+
+@functools.lru_cache(maxsize=16)
+def _get_probe_program(flow_cfg: FlowConfig, n_groups: int, n_pairs: int,
+                       shape: tuple[int, int], n_ladder: int):
+    """The probe program, loaded from the bundled ``jax.export`` artifact
+    when one matches (skips the 1.4-2 s Python re-trace every fresh process
+    pays) -- else built live by :func:`_probe_program`.  The persistent
+    compilation cache applies to both forms (the seed ships the compiled
+    entries for the exported form)."""
+    import jax
+
+    man = _probe_manifest()
+    entry = (man.get("entries", {})
+             .get(f"{n_groups}_{n_pairs}_{shape[0]}x{shape[1]}_{n_ladder}"))
+    if (entry and man.get("cfg") == _probe_cfg_key(flow_cfg)
+            and man.get("jax") == jax.__version__):
+        try:
+            with open(os.path.join(_SEED_DIR, entry), "rb") as f:
+                exported = jax.export.deserialize(bytearray(f.read()))
+            return jax.jit(exported.call)
+        except Exception as e:
+            logging.debug(f"probe export load failed ({e}); tracing live")
+    return _probe_program(flow_cfg, n_groups, n_pairs, shape, n_ladder)
+
+
+def seed_probe_cache() -> None:
+    """Copy the bundled probe executables into the active compilation
+    cache (no-op when the cache is disabled or entries already exist)."""
+    import shutil
+
+    from flowdenoising_tpu.utils.compile_cache import enable_compilation_cache
+    cache_dir = enable_compilation_cache()
+    if not cache_dir or not os.path.isdir(_SEED_DIR):
+        return
+    try:
+        for f in os.listdir(_SEED_DIR):
+            if not f.endswith("-cache"):
+                continue
+            dst = os.path.join(cache_dir, f)
+            if not os.path.exists(dst):
+                shutil.copyfile(os.path.join(_SEED_DIR, f), dst)
+    except OSError as e:  # pragma: no cover - defensive
+        logging.debug(f"probe cache seeding skipped: {e}")
+
+
+def warm_probe_programs_async(flow_cfg: FlowConfig):
+    """Background-compile/load the two common probe programs, overlapped
+    with whatever the caller does next (the CLI starts this before the
+    volume read so the probe's remaining cold cost hides behind I/O).
+
+    Returns the thread, which carries a ``main_ready`` threading.Event set
+    once the MAIN probe program (the one every probe call needs first) is
+    loaded -- wait on that instead of joining, so the escalation program's
+    trace/compile keeps running in the background while the main probe
+    already executes.  (The escalation path is only taken for groups whose
+    flow cannot beat the identity warp; racing it against the thread at
+    worst compiles the same signature twice.)"""
+    import threading
+
+    main_ready = threading.Event()
+    release = threading.Event()
+
+    def work():
+        try:
+            import jax
+
+            seed_probe_cache()
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                for i, (g, shape) in enumerate(_COMMON_SHAPES):
+                    if i == 1:
+                        main_ready.set()  # first shape IS the main program
+                        # Defer the escalation warm until the caller signals
+                        # the probe finished: on few-core hosts an eager esc
+                        # trace/compile CONTENDS with the probe itself.  If
+                        # the probe needed escalation it loaded the program
+                        # already (lru); this warm is then a no-op.
+                        release.wait(timeout=600)
+                    prog = _get_probe_program(flow_cfg, g, 4, shape,
+                                              len(_D_LADDER))
+                    t = np.zeros((g * 4,) + shape, np.float32)
+                    b = np.full((g, len(_D_LADDER), 2), 4.0, np.float32)
+                    jax.block_until_ready(prog(t, t, b))
+            main_ready.set()
+        except Exception as e:  # pragma: no cover - warms are best-effort
+            logging.debug(f"probe warm thread: {e}")
+            main_ready.set()
+
+    th = threading.Thread(target=work, daemon=True,
+                          name="fdtpu-probe-warm")
+    th.main_ready = main_ready
+    th.release = release
+    th.start()
+    return th
 
 
 def _probe_pairs(vol: np.ndarray, distance: int, n_pairs: int):
@@ -204,7 +335,8 @@ def _run_probe(groups_resized, ladders, flow_cfg: FlowConfig):
         bounds = np.asarray(
             [[[d / groups_resized[i][2], d / groups_resized[i][3]]
               for d in ladders[i]] for i in idxs], np.float32)
-        prog = _probe_program(flow_cfg, len(idxs), n_pairs, shape, n_ladder)
+        prog = _get_probe_program(flow_cfg, len(idxs), n_pairs, shape,
+                                  n_ladder)
         errs, base, ident = (np.asarray(x) for x in prog(t_all, r_all, bounds))
         for j, i in enumerate(idxs):
             out[i] = (errs[j].tolist(), float(base[j]), float(ident[j]))
@@ -249,6 +381,7 @@ def probe_displacement(vol: np.ndarray, cfg: FilterConfig,
     """
     import jax
 
+    seed_probe_cache()
     kernels = get_gaussian_kernels(cfg.sigma)
     far_costs, far_stats, adj_costs, adj_stats = [], [], [], []
     untrackable = []

@@ -46,6 +46,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         # programs are few and large, so disk use stays small.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # The default 'xla_gpu_per_fusion_autotune_cache_dir' injects a path
+        # CONTAINING cache_dir into debug_options, which is hashed into the
+        # cache key -- so entries only ever hit from the exact directory
+        # they were compiled into (measured: a byte-identical copy of a
+        # warm cache dir under a new name misses 100%).  It is a GPU
+        # autotune cache; irrelevant on CPU/TPU, and disabling it makes
+        # keys location-independent so the bundled probe seed
+        # (core/autodisp.py::seed_probe_cache) works in any cache dir.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
         _active_dir = cache_dir
         logging.debug(f"XLA compilation cache at {cache_dir}")
         return cache_dir

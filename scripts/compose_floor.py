@@ -45,21 +45,32 @@ def sync(x):
     float(leaf[(0,) * leaf.ndim])
 
 
-def block_trips(v_np: np.ndarray, tiles, d: int) -> float:
+def block_ranges(v, tiles):
+    """Per-(slice, tile, 128-lane-block) (vmin, vmax), computed ON DEVICE
+    (fetching full flow fields over the tunnel's ~16 MB/s D2H would
+    dominate the probe); returns small host arrays."""
+    import jax.numpy as jnp
+    outs = []
+    for a, th in tiles:
+        vt = v[:, a:a + th]
+        n, _, w = vt.shape
+        vb = vt.reshape(n, th, w // 128, 128)
+        outs.append((np.asarray(jnp.min(vb, axis=(1, 3))),
+                     np.asarray(jnp.max(vb, axis=(1, 3)))))
+    return outs
+
+
+def block_trips(v, tiles, d: int) -> float:
     """Mean active-shift count over (tile-rows x 128-lane) blocks: the
     number of s in [-d, d+1] with (vmin < s+1) & (vmax > s-1), i.e. the
     static predication of _compose_kernel."""
-    n, h, w = v_np.shape
-    v_np = np.clip(v_np, -d, d)
     tot, cnt = 0.0, 0
-    for a, th in tiles:
-        for x0 in range(0, w, 128):
-            blk = v_np[:, a:a + th, x0:x0 + 128]
-            vmin = blk.min(axis=(1, 2))
-            vmax = blk.max(axis=(1, 2))
-            for s in range(-d, d + 2):
-                tot += float(((vmin < s + 1) & (vmax > s - 1)).sum())
-            cnt += n
+    for vmin, vmax in block_ranges(v, tiles):
+        vmin = np.clip(vmin, -d, d)
+        vmax = np.clip(vmax, -d, d)
+        for s in range(-d, d + 2):
+            tot += float(((vmin < s + 1) & (vmax > s - 1)).sum())
+        cnt += vmin.size
     return tot / cnt
 
 
@@ -122,8 +133,7 @@ def main():
 
     adj_fwd = adj_field(padded)
     sync(adj_fwd)
-    adj_np = np.asarray(adj_fwd)
-    trips_adj = block_trips(adj_np[..., 1], tiles,
+    trips_adj = block_trips(adj_fwd[..., 1], tiles,
                             min(d, cfg.adjacent_displacement))
     print(f"adjacent-field trips (d_adj clip): {trips_adj:.2f}", flush=True)
 
@@ -132,33 +142,121 @@ def main():
         # one compose step, XLA form (bitwise tap semantics: clamp for
         # sampling only, carry the unclamped sum)
         link_cf = jnp.moveaxis(link, -1, -3)
+        # "auto" -> Pallas sampling (the windowed XLA form materializes all
+        # 2d+2 shifted copies of the link stack: 29 GB at 256^3)
         warped = displace_sample(link_cf, flow[..., 0], flow[..., 1], d,
-                                 "windowed")
+                                 "auto")
         return flow + jnp.moveaxis(warped, -3, -1)
 
     def run_trips(adj, adj_shift, offsets):
         rows = []
         flow = jnp.zeros((n, hw, hw, 2), jnp.float32)
+        last_flow = flow
         for o in offsets:
             start = ks2 + o
             link = adj[start + adj_shift:start + adj_shift + n]
-            v_np = np.asarray(flow[..., 1])
-            ta = block_trips(v_np, tiles, d)
+            ta = block_trips(flow[..., 1], tiles, d)
             flow = chain_step(flow, link)
-            v2_np = np.asarray(flow[..., 1])
-            tb = block_trips(v2_np, tiles, d)
+            tb = block_trips(flow[..., 1], tiles, d)
             rows.append((ta, tb))
-        return rows
+            last_flow = flow
+        return rows, last_flow
 
-    bwd = run_trips(np.asarray(-adj_np), 0,
-                    [-j for j in range(1, ks2 + 1)])
-    fwd = run_trips(adj_np, -1, [+j for j in range(1, ks2 + 1)])
+    bwd, flow_sat = run_trips(-adj_fwd, 0, [-j for j in range(1, ks2 + 1)])
+    fwd, _ = run_trips(adj_fwd, -1, [+j for j in range(1, ks2 + 1)])
     print("per-tap trips (phaseA, phaseB):", flush=True)
     for lbl, rows in (("bwd", bwd), ("fwd", fwd)):
         print(f"  {lbl}: " + " ".join(f"({a:.1f},{b:.1f})"
                                       for a, b in rows), flush=True)
     w_real = sum(2 * a + b for a, b in bwd + fwd)  # channel-trips per voxel
     print(f"total channel-trips per voxel per pass: {w_real:.1f}", flush=True)
+
+    # ---- 1b. time the REAL prepped tap scan (both outward runs, real
+    # link fields), exactly as _of_pass_composed runs it -- the isolated
+    # single-tap form measured ~50% above the in-pass cost (DMA/compute
+    # overlap across scan steps), so (a, c) must be fitted IN-PASS ----
+    kw = dict(packed=True, eo=False, dyn=False)
+    nb_tiles_real = PC.prep_compose_src(padded[:, None].astype(jnp.float32),
+                                        d, hw, tiles=tiles, **kw)
+
+    def real_scan_time(adj_f):
+        """Wall time of the two 8-tap prepped runs on given adjacent
+        fields (everything else identical to the real pass)."""
+        link_b = PC.prep_compose_src(jnp.moveaxis(-adj_f, -1, -3), d, hw,
+                                     tiles=tiles, **kw)
+        link_f = PC.prep_compose_src(jnp.moveaxis(adj_f, -1, -3), d, hw,
+                                     tiles=tiles, **kw)
+
+        @jax.jit
+        def scan(vol_in, lb, lf, nbt):
+            carry = PC.init_compose_carry(vol_in, taps[ks2], tiles, hw,
+                                          jnp.float32)
+
+            def run(carry, links, offsets, shift):
+                xs = (jnp.asarray([ks2 + o for o in offsets], jnp.int32),
+                      jnp.asarray([taps[ks2 + o] for o in offsets],
+                                  jnp.float32))
+
+                def body(c, xs_t):
+                    start, wgt = xs_t
+                    return PC.compose_tap_prepped(
+                        links, nbt, c, tiles, wgt, start + shift,
+                        start, d=d, w=hw, dtype=jnp.float32, **kw), None
+
+                c, _ = jax.lax.scan(body, carry, xs)
+                return c
+
+            carry = run(carry, lb, [-j for j in range(1, ks2 + 1)], 0)
+            carry = PC.reset_compose_flow(carry)
+            carry = run(carry, lf, [+j for j in range(1, ks2 + 1)], -1)
+            return PC.finish_compose_carry(carry, hw)
+
+        out = scan(vol, link_b, link_f, nb_tiles_real)
+        sync(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = scan(vol, link_b, link_f, nb_tiles_real)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def chain_chtrips(adj_f):
+        """Total channel-trips per voxel over both runs' taps for given
+        adjacent fields (phase A: 2 link channels, phase B: 1)."""
+        tot = 0.0
+        for a_dir, shift, offs in ((-1, 0, range(-ks2, 0)),
+                                   (+1, -1, range(1, ks2 + 1))):
+            flow = jnp.zeros((n, hw, hw, 2), jnp.float32)
+            for o in (sorted(offs, reverse=True) if a_dir < 0
+                      else sorted(offs)):
+                start = ks2 + o
+                link = (a_dir * adj_f)[start + shift:start + shift + n]
+                tot += 2 * block_trips(flow[..., 1], tiles, d)
+                flow = chain_step(flow, link)
+                tot += block_trips(flow[..., 1], tiles, d)
+        return tot
+
+    t_scan_raw = real_scan_time(adj_fwd)
+    w_raw = w_real  # computed above
+    print(f"REAL tap scan (16 taps, raw links):    {t_scan_raw:7.3f} s "
+          f"({t_scan_raw / voxels / 16 * 1e9:6.4f} ns/vox/tap, "
+          f"ch-trips {w_raw:.0f})", flush=True)
+    # low-trip point: links estimated from a presmoothed stack (collapses
+    # flow noise, the real --flow_presmooth lever)
+    from flowdenoising_tpu.core.axis_filter import _estimation_stack
+    cfg_ps = dataclasses.replace(cfg, presmooth=1.5)
+    adj_ps = adj_field(_estimation_stack(padded, cfg_ps))
+    sync(adj_ps)
+    w_ps = chain_chtrips(adj_ps)
+    t_scan_ps = real_scan_time(adj_ps)
+    print(f"REAL tap scan (presmoothed links):     {t_scan_ps:7.3f} s "
+          f"({t_scan_ps / voxels / 16 * 1e9:6.4f} ns/vox/tap, "
+          f"ch-trips {w_ps:.0f})", flush=True)
+    c_in = (t_scan_raw - t_scan_ps) / voxels / max(w_raw - w_ps, 1e-9) * 1e9
+    a_in = (t_scan_raw / voxels * 1e9 - c_in * w_raw) / 16
+    print(f"in-pass fit: a={a_in:.4f} ns/vox/tap, "
+          f"c={c_in:.5f} ns/vox/channel-trip", flush=True)
 
     # ---- 2. calibrate (a, c) with prepped tap scans, link = 0 ----
     rng = np.random.default_rng(0)
@@ -200,8 +298,9 @@ def main():
 
     pts = []
     for noise in (0.25, 0.8, 1.6, 3.0):
-        f = (rng.normal(0, noise, (n, hw, hw, 2))
-             + rng.uniform(-2, 2, (n, 1, 1, 2))).astype(np.float32)
+        f = jnp.asarray((rng.normal(0, noise, (n, hw, hw, 2))
+                         + rng.uniform(-2, 2, (n, 1, 1, 2)))
+                        .astype(np.float32))
         ta = block_trips(f[..., 1], tiles, d)
         w_ch = 3 * ta  # link=0: phase B sees the same flow -> tB = tA
         t = timed_scan(f)
@@ -209,6 +308,14 @@ def main():
         print(f"  noise={noise:4.2f}: trips={ta:5.2f} "
               f"ch-trips={w_ch:5.1f} t_tap={t * 1e3:7.3f} ms "
               f"({t / voxels * 1e9:6.4f} ns/vox)", flush=True)
+
+    # real saturated chain flow (the regime taps >= 4 actually run in)
+    ta_sat = block_trips(flow_sat[..., 1], tiles, d)
+    t_sat = timed_scan(flow_sat)
+    pts.append((3 * ta_sat, t_sat))
+    print(f"  REAL chain flow: trips={ta_sat:5.2f} ch-trips={3 * ta_sat:5.1f} "
+          f"t_tap={t_sat * 1e3:7.3f} ms ({t_sat / voxels * 1e9:6.4f} ns/vox)",
+          flush=True)
 
     A = np.array([[1.0, wch] for wch, _ in pts])
     y = np.array([t / voxels * 1e9 for _, t in pts])

@@ -45,6 +45,36 @@ def test_fast_drift_raises_bound():
     assert adj_d <= 6  # adjacent motion is still only ~2 px
 
 
+def test_probe_seed_artifacts_load():
+    """The bundled AOT probe seed (jax.export artifacts + compiled cache
+    entries, scripts/seed_probe_cache.py) must deserialize and execute for
+    the default config -- this is what turns the first `auto` CLI run's
+    probe from ~20 s of trace+compile into ~2.5 s (measured 2026-08-21)."""
+    import jax
+
+    from flowdenoising_tpu.core import autodisp as A
+    from flowdenoising_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+
+    man = A._probe_manifest()
+    assert man.get("entries"), "probe seed missing from the package"
+    if man.get("jax") != jax.__version__:
+        pytest.skip(f"seed built for jax {man.get('jax')}; rerun "
+                    "scripts/seed_probe_cache.py")
+    assert man.get("cfg") == A._probe_cfg_key(FilterConfig().flow)
+    enable_compilation_cache()
+    A.seed_probe_cache()
+    A._get_probe_program.cache_clear()
+    g, shape = A._COMMON_SHAPES[0]
+    prog = A._get_probe_program(FilterConfig().flow, g, 4, shape,
+                                len(A._D_LADDER))
+    t = np.zeros((g * 4,) + shape, np.float32)
+    b = np.full((g, len(A._D_LADDER), 2), 4.0, np.float32)
+    errs, base, ident = prog(t, t, b)
+    assert np.asarray(errs).shape == (g, len(A._D_LADDER))
+    assert np.isfinite(np.asarray(base)).all()
+
+
 def test_untrackable_large_drift_floors_at_default():
     """Large labeled drift whose CONTENT decorrelates slice-to-slice
     (independent noise textures): no coherent match exists, the probe flow
