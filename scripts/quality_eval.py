@@ -111,17 +111,18 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
               symmetric_adjacent=True, presmooth=1.5)),
     ]
     # Unbounded exact-gather row: direct on probe-scale tiers; on the big
-    # tier each dispatch must stay short (a single whole-volume unbounded
-    # pass runs for minutes and has crashed the TPU worker watchdog), so
-    # the pass runs in 16-slice slabs ("_slab" -> FilterConfig.slab_size;
-    # slab decomposition is bitwise-equal, core/pipeline.py).
+    # tier each DISPATCH must stay short (a whole-volume unbounded pass is
+    # one device program that runs for minutes and crashes the TPU worker
+    # watchdog -- in-jit slabs bound memory, not dispatch length), so the
+    # big-tier row runs through denoise_streamed: a HOST-driven slab loop
+    # whose every dispatch covers 16 output slices ("_stream" key).
     if n * hw * hw <= 2 ** 21:
         configs.insert(1, ("tpu f32 solve unbounded (--max_displacement 0)",
                            dict(max_displacement=None)))
     else:
         configs.insert(1, ("tpu f32 solve unbounded (--max_displacement 0, "
-                           "slab 16)",
-                           dict(max_displacement=None, _slab=16)))
+                           "streamed slab 16)",
+                           dict(max_displacement=None, _stream=16)))
     # One jitted executable per config, shared across all noise levels
     # (shapes are identical) -- without this, each (config, noise) pair
     # recompiles and the evaluation is compile-bound.
@@ -129,10 +130,16 @@ def eval_tier(pattern, n, hw, noises, sigma, skip_reference, lines):
     auto_jits = {}
     for name, over in configs:
         over = dict(over)
-        slab = over.pop("_slab", None)
-        cfg = FilterConfig(sigma=sig, boundary=Boundary.WRAP, slab_size=slab,
+        stream_slab = over.pop("_stream", None)
+        cfg = FilterConfig(sigma=sig, boundary=Boundary.WRAP,
                            flow=FlowConfig(levels=L, winsize=W, **over))
-        jits[name] = jax.jit(lambda x, c=cfg: denoise(x, c))
+        if stream_slab:
+            from flowdenoising_tpu.core.stream import denoise_streamed
+            jits[name] = (lambda x, c=cfg, s=stream_slab:
+                          jnp.asarray(denoise_streamed(
+                              np.asarray(x), c, slab_size=s)))
+        else:
+            jits[name] = jax.jit(lambda x, c=cfg: denoise(x, c))
 
     for noise in noises:
         rng = np.random.default_rng(1234 + int(noise))
