@@ -14,6 +14,15 @@ calibration (scripts/quality_eval.py volumes):
     blobs     n30 rel=0.24 (small win)         -> off (conservative)
     blobs     n60 rel=0.48 (clear win)         -> on
     membranes n30 rel=0.61, n60 rel=1.23 (win) -> on
+
+Round-5 boundary stress (tiers ENGINEERED at rel 0.40 / 0.50, QUALITY.md):
+the decision boundary is content-ambiguous -- at rel=0.50 presmooth WINS
+on blobs (+0.13 dB PSNR, +0.025 SSIM) but costs PSNR on membranes
+(-0.35 dB, +0.002 SSIM); at rel=0.40 both picks are PSNR-equal (blobs)
+or off-wins (membranes, +0.39 dB).  No threshold separates the families
+at the same rel, so 0.45 stays put between the measured regimes; the
+worst boundary penalty of the auto pick is 0.35 dB PSNR with SSIM never
+worse than the alternative (tests/test_noise.py pins this).
 """
 
 from __future__ import annotations

@@ -251,6 +251,18 @@ def main():
         "~1/70th its cost).  `--max_displacement auto` now sizes the bound "
         "from clamp-cost curves normalized by the flow's tracking benefit "
         "(core/autodisp.py), picking D=24-32 on these volumes.",
+        "- **Auto-presmooth boundary tiers** (rel ~ 0.40 / 0.50, "
+        "engineered): the decision boundary is content-ambiguous -- at "
+        "rel=0.50 presmooth wins on blobs (+0.13 dB, +0.025 SSIM) but "
+        "costs PSNR on membranes (-0.35 dB, +0.002 SSIM).  The policy's "
+        "worst boundary penalty is 0.35 dB PSNR with SSIM never below "
+        "the alternative; `_REL_THRESHOLD=0.45` sits between the "
+        "measured regimes (core/noise.py).",
+        "- **The big membranes tier now carries the unbounded row** "
+        "(streamed 16-slice slabs keep every device dispatch short): "
+        "unbounded = cv2 exactly (32.51 dB, 60.4 dB cross-PSNR), and "
+        "`auto` (D=48) lands on the same 32.51 dB -- the clamping "
+        "decomposition is uniform across all tiers.",
         "- **compose_refine was REMOVED in v0.5.0**: a measured "
         "trust-region ladder (round 4, clip 0/0.5/0.75/1.5 px, 1-2 "
         "iterations) found no setting that lifts it to >= plain compose "
