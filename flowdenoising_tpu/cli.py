@@ -318,7 +318,16 @@ def main(argv=None) -> int:
     probe_warm = None
     if auto_disp and cfg.use_flow:
         from flowdenoising_tpu.core.autodisp import warm_probe_programs_async
-        probe_warm = warm_probe_programs_async(cfg.flow)
+        # the header alone tells the warm thread which bucket programs
+        # THIS volume's probe will need (expected_probe_shapes)
+        vol_shape = None
+        if is_mrc_input(args.input) and os.path.exists(str(args.input)):
+            try:
+                from flowdenoising_tpu.io.mrc import read_mrc_header
+                vol_shape = tuple(read_mrc_header(args.input).shape)
+            except Exception:
+                vol_shape = None
+        probe_warm = warm_probe_programs_async(cfg.flow, vol_shape)
 
     with prof.phase("read"):
         # as_f32 takes the native libfdio fused decode/convert path for MRC

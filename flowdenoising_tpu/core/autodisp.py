@@ -81,11 +81,32 @@ _UNTRACKED_FRAC = 0.9
 _SEED_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "_probe_seed")
 
-# The two program shapes almost every volume maps onto: the main batched
-# probe (3 axes x far/adj = 6 groups in the shared 128^2 aspect bucket)
-# and the single-group 2x escalation re-probe.  Only unusual aspect
-# buckets fall outside these and pay a normal compile.
-_COMMON_SHAPES = ((6, (128, 128)), (1, (256, 256)))
+# The program shapes the common volume families map onto, in warm order:
+# cubic / all-planes-fit volumes (3 axes x far/adj = 6 groups in the
+# shared 128^2 bucket) and flat tomogram stacks (Z << Y = X: the axis-0
+# planes bucket square, the four side-view groups bucket 1:4 -- the
+# reference's real-data tier, pamper_me's 160x512x512, is this family),
+# plus their single-group 2x escalation shapes.  Unusual aspect mixes
+# fall outside these and pay a normal compile.
+_COMMON_SHAPES = ((6, (128, 128)), (1, (256, 256)), (2, (128, 128)),
+                  (4, (64, 256)), (1, (128, 512)))
+
+
+def expected_probe_shapes(vol_shape) -> tuple[list, list]:
+    """(main program shapes, escalation shapes) the probe will need for a
+    volume shape: per axis, the far+adj group pair buckets by its plane
+    geometry (groups sharing a bucket run as one batched program).  Lets
+    the CLI warm exactly the right programs from the header alone."""
+    by: dict = {}
+    esc = []
+    for axis in range(3):
+        plane = tuple(s for i, s in enumerate(vol_shape) if i != axis)
+        b = _bucket_shape(plane[0], plane[1], 128)
+        by[b] = by.get(b, 0) + 2  # far + adj group
+        e = (1, _bucket_shape(plane[0], plane[1], 256))
+        if e not in esc:
+            esc.append(e)
+    return [(n, s) for s, n in by.items()], esc
 
 
 def _probe_manifest() -> dict:
@@ -149,22 +170,34 @@ def seed_probe_cache() -> None:
         logging.debug(f"probe cache seeding skipped: {e}")
 
 
-def warm_probe_programs_async(flow_cfg: FlowConfig):
-    """Background-compile/load the two common probe programs, overlapped
-    with whatever the caller does next (the CLI starts this before the
-    volume read so the probe's remaining cold cost hides behind I/O).
+def warm_probe_programs_async(flow_cfg: FlowConfig, vol_shape=None):
+    """Background-compile/load the probe programs, overlapped with
+    whatever the caller does next (the CLI starts this before the volume
+    read so the probe's remaining cold cost hides behind I/O).
+
+    ``vol_shape``: when given (the CLI reads it from the file header),
+    exactly the MAIN programs that volume's buckets need are warmed first
+    (``expected_probe_shapes``); otherwise the cubic-family default leads.
 
     Returns the thread, which carries a ``main_ready`` threading.Event set
-    once the MAIN probe program (the one every probe call needs first) is
-    loaded -- wait on that instead of joining, so the escalation program's
-    trace/compile keeps running in the background while the main probe
-    already executes.  (The escalation path is only taken for groups whose
-    flow cannot beat the identity warp; racing it against the thread at
-    worst compiles the same signature twice.)"""
+    once the main program(s) are loaded -- wait on that instead of
+    joining.  Escalation/remaining shapes warm only after the caller sets
+    ``release`` (the probe finished): on few-core hosts an eager
+    escalation trace/compile CONTENDS with the probe itself, and a probe
+    that needs escalation before then just loads it itself (at worst the
+    same signature compiles twice)."""
     import threading
 
     main_ready = threading.Event()
     release = threading.Event()
+
+    mains = [_COMMON_SHAPES[0]]
+    if vol_shape is not None and len(vol_shape) == 3:
+        try:
+            mains, _esc = expected_probe_shapes(vol_shape)
+        except Exception:
+            pass
+    rest = [s for s in _COMMON_SHAPES if s not in mains]
 
     def work():
         try:
@@ -173,14 +206,9 @@ def warm_probe_programs_async(flow_cfg: FlowConfig):
             seed_probe_cache()
             cpu = jax.local_devices(backend="cpu")[0]
             with jax.default_device(cpu):
-                for i, (g, shape) in enumerate(_COMMON_SHAPES):
-                    if i == 1:
-                        main_ready.set()  # first shape IS the main program
-                        # Defer the escalation warm until the caller signals
-                        # the probe finished: on few-core hosts an eager esc
-                        # trace/compile CONTENDS with the probe itself.  If
-                        # the probe needed escalation it loaded the program
-                        # already (lru); this warm is then a no-op.
+                for i, (g, shape) in enumerate(mains + rest):
+                    if i == len(mains):
+                        main_ready.set()
                         release.wait(timeout=600)
                     prog = _get_probe_program(flow_cfg, g, 4, shape,
                                               len(_D_LADDER))

@@ -65,14 +65,35 @@ def test_probe_seed_artifacts_load():
     enable_compilation_cache()
     A.seed_probe_cache()
     A._get_probe_program.cache_clear()
-    g, shape = A._COMMON_SHAPES[0]
-    prog = A._get_probe_program(FilterConfig().flow, g, 4, shape,
-                                len(A._D_LADDER))
-    t = np.zeros((g * 4,) + shape, np.float32)
-    b = np.full((g, len(A._D_LADDER), 2), 4.0, np.float32)
-    errs, base, ident = prog(t, t, b)
-    assert np.asarray(errs).shape == (g, len(A._D_LADDER))
-    assert np.isfinite(np.asarray(base)).all()
+    # every bundled shape must deserialize and execute
+    assert len(man["entries"]) == len(A._COMMON_SHAPES)
+    for g, shape in A._COMMON_SHAPES:
+        prog = A._get_probe_program(FilterConfig().flow, g, 4, shape,
+                                    len(A._D_LADDER))
+        t = np.zeros((g * 4,) + shape, np.float32)
+        b = np.full((g, len(A._D_LADDER), 2), 4.0, np.float32)
+        errs, base, ident = prog(t, t, b)
+        assert np.asarray(errs).shape == (g, len(A._D_LADDER))
+        assert np.isfinite(np.asarray(base)).all()
+
+
+def test_expected_probe_shapes():
+    """Header-shape -> probe-program-shape prediction must match what the
+    probe actually runs: cubic volumes batch all 6 groups in the square
+    bucket; flat tomogram stacks (Z << Y = X, the reference's real-data
+    geometry) split 2 square + 4 one-to-four groups."""
+    from flowdenoising_tpu.core.autodisp import (
+        _COMMON_SHAPES, expected_probe_shapes)
+
+    mains, esc = expected_probe_shapes((128, 128, 128))
+    assert mains == [(6, (128, 128))]
+    assert esc == [(1, (256, 256))]
+    mains, esc = expected_probe_shapes((160, 512, 512))
+    assert sorted(mains) == [(2, (128, 128)), (4, (64, 256))]
+    assert (1, (128, 512)) in esc and (1, (256, 256)) in esc
+    # every predicted shape for these two families is bundled in the seed
+    for s in mains + esc:
+        assert s in _COMMON_SHAPES, s
 
 
 def test_untrackable_large_drift_floors_at_default():
