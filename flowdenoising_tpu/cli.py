@@ -408,11 +408,15 @@ def main(argv=None) -> int:
 
             # >host-RAM x multi-chip composition: slabs stream from disk
             # and each window's pass runs ring-halo sharded over the mesh
-            # (parallel.mesh.sharded_window_pass)
+            # (parallel.mesh.sharded_window_pass).  Sharding engages only
+            # on an EXPLICIT --devices: single-device streaming is
+            # documented bitwise-identical to the in-memory pipeline, and
+            # the sharded program's float reassociation can differ by
+            # 1-2 ulp on some backends/shapes.
             filtered = denoise_streamed(vol, cfg, kernels=kernels,
                                         slab_size=args.slab_size,
                                         progress=stream_progress,
-                                        n_devices=n_devices)
+                                        n_devices=(args.devices or 1))
             # final pass lives in a scratch memmap; remove its temp dir
             # once the output file has been written
             stream_scratch = getattr(filtered, "filename", None)
